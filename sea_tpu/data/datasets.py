@@ -1,0 +1,127 @@
+"""Datasets and batching.
+
+Mirrors the reference's data objects re-expressed as plain-array pipelines:
+- EncoderDecoderDataset (utils/data_processors.py:376-386): trivial snapshot
+  dataset (input == target, autoencoding) -> here just an array + iterator.
+- TemporalDataset (:388-452): chop each trajectory's latent sequence into
+  windows of ``src_len`` with stride ``src_len - overlap``; each item is
+  (src, tgt=next-step targets, tgt_original un-encoded fields, ib window).
+- The SEA layout switch (train/train_encoder.py:121-132): 'isolate' permutes
+  [B,P,C,F] -> [B,P,F,C]; 'mixed' reshapes without permuting (deliberate
+  field/cell mixing experiment) — both preserved.
+
+Batching: simple seeded-shuffle minibatch iterators over numpy arrays (the
+reference uses torch DataLoader with a seeded generator,
+train/train_temporal.py:81-86). Static batch shapes for jit-friendliness:
+the last partial batch is dropped when drop_remainder=True (training) and
+kept otherwise (eval).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+def apply_sea_layout(patched: np.ndarray, layout: str) -> np.ndarray:
+    """patched: [B, P, C, F] -> [B, P, F, C]."""
+    if layout == "isolate":
+        return np.ascontiguousarray(patched.transpose(0, 1, 3, 2))
+    if layout == "mixed":
+        B, P, C, F = patched.shape
+        return patched.reshape(B, P, F, C)
+    raise ValueError(f"Invalid SEA layout: {layout!r}")
+
+
+def invert_sea_layout(x: np.ndarray, layout: str) -> np.ndarray:
+    """[B, P, F, C] -> [B, P, C, F] (train_utils.py:222-228 inverse)."""
+    if layout == "isolate":
+        return np.ascontiguousarray(x.transpose(0, 1, 3, 2))
+    if layout == "mixed":
+        B, P, F, C = x.shape
+        return x.reshape(B, P, C, F)
+    raise ValueError(f"Invalid SEA layout: {layout!r}")
+
+
+def split_indices(total: int, train_fraction: float, val_fraction: float,
+                  seed: int) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Shuffled train/val/test split (train_encoder.py:89-105 — np.round
+    lengths, same RNG construction: np.random.seed + shuffle)."""
+    rng = np.random.RandomState(seed)
+    indices = np.arange(total)
+    rng.shuffle(indices)
+    train_len = int(np.round(total * train_fraction))
+    val_len = int(np.round(total * val_fraction))
+    return (indices[:train_len],
+            indices[train_len:train_len + val_len],
+            indices[train_len + val_len:])
+
+
+@dataclasses.dataclass
+class TemporalWindows:
+    """All windows of all trajectories, stacked (static shapes).
+
+    src:          [W, L, G, E]  model input
+    tgt:          [W, L, G, E]  next-step targets
+    tgt_original: [W, L, N, F]  un-encoded fields aligned with tgt
+    ib:           [W, L, ib_num]
+    """
+
+    src: np.ndarray
+    tgt: np.ndarray
+    tgt_original: np.ndarray
+    ib: np.ndarray
+
+    def __len__(self) -> int:
+        return self.src.shape[0]
+
+
+def make_temporal_windows(latents: np.ndarray, originals: np.ndarray,
+                          ib: np.ndarray, src_len: int,
+                          overlap: int = 0) -> TemporalWindows:
+    """latents: [tr, T, G, E]; originals: [tr, T, N, F]; ib: [tr, T, ib_num].
+
+    Window extraction mirrors TemporalDataset.__getitem__
+    (data_processors.py:412-452) without time-shifting: per trajectory,
+    num_windows = T // step windows at starts w*step, with
+    src = lat[s:s+L], tgt = lat[s+1:s+L+1], tgt_original = orig[s+1:s+L+1],
+    ib_out = ib[s:s+L]. (Random time_shifting is applied at batch time by
+    the caller if enabled.)
+    """
+    step = src_len - overlap
+    tr, T = latents.shape[:2]
+    srcs, tgts, origs, ibs = [], [], [], []
+    for t in range(tr):
+        num = T // step
+        for w in range(num):
+            s = w * step
+            if s + src_len + 1 > T:
+                # The reference would produce a ragged (short) tgt here and
+                # crash in the DataLoader collate; we skip such windows.
+                continue
+            srcs.append(latents[t, s:s + src_len])
+            tgts.append(latents[t, s + 1:s + src_len + 1])
+            origs.append(originals[t, s + 1:s + src_len + 1])
+            ibs.append(ib[t, s:s + src_len])
+    return TemporalWindows(src=np.stack(srcs), tgt=np.stack(tgts),
+                           tgt_original=np.stack(origs), ib=np.stack(ibs))
+
+
+def batch_iterator(arrays: Sequence[np.ndarray], batch_size: int, *,
+                   shuffle: bool, seed: int = 0, epoch: int = 0,
+                   drop_remainder: bool = False
+                   ) -> Iterator[Tuple[np.ndarray, ...]]:
+    """Yield tuples of aligned minibatches from equally-long arrays."""
+    n = len(arrays[0])
+    for a in arrays:
+        assert len(a) == n
+    idx = np.arange(n)
+    if shuffle:
+        rng = np.random.RandomState((seed * 1_000_003 + epoch) % (2 ** 31))
+        rng.shuffle(idx)
+    end = (n - n % batch_size) if drop_remainder else n
+    for start in range(0, end, batch_size):
+        sel = idx[start:start + batch_size]
+        yield tuple(a[sel] for a in arrays)

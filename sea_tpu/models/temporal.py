@@ -1,0 +1,473 @@
+"""Stage-2 temporal model: causal transformer with State-Exchange Attention.
+
+Behavioral mirror of reference models/temporal.py:
+- ``BaseBlockTemporal`` (:21-148): per-variable causal RoPE self-attention
+  over time, an exchange hook, input/boundary (ib) conditioning injected
+  before or after the exchange, per-variable MLP and output projection.
+- ``SEABlockTemporal`` (:152-192): the paper's exchange — for each ordered
+  pair (i, j != i), down-project both streams, normalize, masked RoPE
+  cross-attend i<-j in the down-projected space, GELU, up-project, and add
+  the sum over j to x_i. NOTE the reference updates ``x_vars[i]`` *inside*
+  the loop (:188-191), so variable i>0 exchanges against already-updated
+  earlier variables — sequential-update semantics, preserved here.
+- ``SEAPoolBlockTemporal`` (:197-283): O(G) variant via a shared pool token
+  (parallel-update semantics; down-projections precomputed at :261).
+- ``AddBlockTemporal`` (:285-308): no-attention ablation (parallel update).
+- ``SimpleBlockTemporal`` (:310-312): no exchange.
+- ``TemporalModel`` (:326-416): split [B,T,G,E] into G streams, run blocks,
+  final per-variable (Ada)LN, restack. normal(0,.02) init everywhere
+  (:395-402), including AdaLN base weight=1/bias=0.
+
+Token contract: x [B, T, G, E] with E = P*D (flattened latent mesh state per
+field group); ib [B, T, ib_num]. Causality over T via the tril(diagonal=
+src_len) mask + RoPE absolute positions.
+
+The incremental single-step form used by the rollout engine lives in
+``temporal_step`` with per-(layer, stream) and per-(layer, pair) KV caches;
+see rollout/engine.py for the lax.scan driver.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from sea_tpu.configs.base import TemporalModelConfig
+from sea_tpu.ops import layers as L
+from sea_tpu.ops.attention import (init_attention, init_kv_cache, mha,
+                                   mha_step)
+
+
+# ---------------------------------------------------------------------------
+# Init
+# ---------------------------------------------------------------------------
+
+def _init_norm(key, dim: int, cond_dim: int, ln_type: str, dtype):
+    if ln_type.lower() == "adaln":
+        return L.init_adaln(key, dim, cond_dim, init="normal002", dtype=dtype)
+    # Reference LayerNorm default bias=False in most temporal uses
+    # (base_blocks.py:80-88; SEA ln_cross at temporal.py:172 uses default
+    # LayerNorm(down_dim) which is bias=False too).
+    return L.init_layernorm(dim, bias=False, dtype=dtype)
+
+
+def _init_ib_layer(key, cfg: TemporalModelConfig, dtype):
+    """temporal.py:103-109."""
+    if cfg.ib_scale_mode == "fourier":
+        return L.init_gaussian_fourier(key, cfg.ib_num, int(cfg.ib_dim // 2),
+                                       dtype=dtype)
+    if cfg.ib_scale_mode == "linear":
+        return L.init_linear(key, cfg.ib_num, cfg.ib_dim, init="normal002",
+                             dtype=dtype)
+    return L.init_mlp(key, cfg.ib_num, scale_ratio=cfg.scale_ratio,
+                      dim_out=cfg.ib_dim, num_layers=cfg.ib_mlp_layers,
+                      init="normal002", dtype=dtype)
+
+
+def init_temporal_block(key, cfg: TemporalModelConfig, dtype=jnp.float32):
+    G = cfg.num_fields
+    D = cfg.internal_embed_dim
+    dd = cfg.down_dim
+    keys = iter(jax.random.split(key, 8 * G + G * G + 16))
+
+    block = {
+        "ib": _init_ib_layer(next(keys), cfg, dtype),
+        # 3 norms per variable (temporal.py:64,69); index 1 is created but
+        # unused by the reference forward — reproduced for checkpoint parity.
+        "ln_exp": [[_init_norm(next(keys), D, cfg.ib_num, cfg.ln_type, dtype)
+                    for _ in range(3)] for _ in range(G)],
+        "self_attn": [init_attention(next(keys), D, cfg.n_heads,
+                                     init="normal002", dtype=dtype)
+                      for _ in range(G)],
+        "mlp": [L.init_mlp(next(keys), D, scale_ratio=cfg.scale_ratio,
+                           init="normal002", dtype=dtype) for _ in range(G)],
+        "proj": [L.init_linear(next(keys), D, cfg.embed_dim, init="normal002",
+                               dtype=dtype) for _ in range(G)],
+    }
+    if cfg.ib_addition_mode == "attention":
+        block["cross_attn_ib"] = [
+            init_attention(next(keys), D, cfg.n_heads, init="normal002",
+                           dtype=dtype) for _ in range(G)]
+
+    if cfg.exchange_mode in ("sea", "addition", "pool"):
+        block["cross_down"] = [L.init_linear(next(keys), D, dd,
+                                             init="normal002", dtype=dtype)
+                               for _ in range(G)]
+        block["cross_up"] = [L.init_linear(next(keys), dd, D,
+                                           init="normal002", dtype=dtype)
+                             for _ in range(G)]
+        block["ln_cross"] = [_init_norm(next(keys), dd, cfg.ib_num,
+                                        cfg.ln_type, dtype) for _ in range(G)]
+    if cfg.exchange_mode == "sea":
+        # Full G x G lattice incl. unused diagonal (temporal.py:162-168).
+        block["cross_attn"] = [
+            [init_attention(next(keys), dd, cfg.n_heads, init="normal002",
+                            dtype=dtype) for _ in range(G)]
+            for _ in range(G)]
+    elif cfg.exchange_mode == "pool":
+        block["pool_token"] = jax.random.normal(next(keys), (1, 1, dd), dtype)
+        block["cross_attn"] = [init_attention(next(keys), dd, cfg.n_heads,
+                                              init="normal002", dtype=dtype)
+                               for _ in range(G)]
+        block["ln_pool"] = _init_norm(next(keys), dd, cfg.ib_num, cfg.ln_type,
+                                      dtype)
+        if cfg.pool_update_method == "linear":
+            block["pool_update"] = L.init_linear(next(keys), dd * G, dd,
+                                                 init="normal002", dtype=dtype)
+        elif cfg.pool_update_method == "mlp":
+            k1, k2 = jax.random.split(next(keys))
+            block["pool_update"] = {
+                "fc1": L.init_linear(k1, dd * G, dd * 2, init="normal002",
+                                     dtype=dtype),
+                "fc2": L.init_linear(k2, dd * 2, dd, init="normal002",
+                                     dtype=dtype),
+            }
+        elif cfg.pool_update_method == "pooling":
+            block["pool_update"] = jnp.ones((G,), dtype) / G
+        else:
+            raise NotImplementedError(
+                f"pool_update_method={cfg.pool_update_method!r} (the "
+                "reference's GRU variant is not implemented; use "
+                "linear/mlp/pooling)")
+        block["pool_pe"] = L.sinusoidal_pe_table(dd, max_len=5000, dtype=dtype)
+    return block
+
+
+def init_temporal(key, cfg: TemporalModelConfig, dtype=jnp.float32):
+    keys = jax.random.split(key, cfg.num_layers + cfg.num_fields)
+    return {
+        "blocks": [init_temporal_block(keys[i], cfg, dtype)
+                   for i in range(cfg.num_layers)],
+        "ln_final": [_init_norm(keys[cfg.num_layers + i], cfg.embed_dim,
+                                cfg.ib_num, cfg.ln_type, dtype)
+                     for i in range(cfg.num_fields)],
+    }
+
+
+# ---------------------------------------------------------------------------
+# Forward (full sequence, teacher-forced training path)
+# ---------------------------------------------------------------------------
+
+def _ib_output(block, cfg: TemporalModelConfig, ib):
+    if cfg.ib_scale_mode == "fourier":
+        return L.gaussian_fourier(block["ib"], ib)
+    if cfg.ib_scale_mode == "linear":
+        return L.linear(block["ib"], ib)
+    return L.mlp(block["ib"], ib)
+
+
+def _add_info(block, cfg: TemporalModelConfig, x, ib, var_idx, *,
+              dropout_key=None, deterministic=True):
+    """temporal.py:111-120."""
+    if cfg.ib_addition_mode == "none":
+        return x
+    ib_out = _ib_output(block, cfg, ib)
+    if cfg.ib_addition_mode == "add":
+        return x + ib_out
+    if cfg.ib_addition_mode == "concat":
+        return jnp.concatenate([x, ib_out], axis=-1)
+    # attention: unmasked cross-attn against the ib embedding stream.
+    return x + mha(block["cross_attn_ib"][var_idx], x, ib_out,
+                   n_heads=cfg.n_heads, causal=False, rope=False,
+                   dropout_rate=cfg.dropout, dropout_key=dropout_key,
+                   deterministic=deterministic)
+
+
+def _sea_pair(block, cfg, x_i, x_j, i, j, ib, *, dropout_key=None,
+              deterministic=True):
+    """_apply_cross_attention (temporal.py:176-185)."""
+    x_i_down = L.linear(block["cross_down"][i], x_i)
+    x_j_down = L.linear(block["cross_down"][j], x_j)
+    x_i_norm = L.apply_norm(block["ln_cross"][i], x_i_down, ib)
+    x_j_norm = L.apply_norm(block["ln_cross"][j], x_j_down, ib)
+    attn = mha(block["cross_attn"][i][j], x_i_norm, x_j_norm,
+               n_heads=cfg.n_heads, causal=True, rope=True,
+               src_len=cfg.src_len, dropout_rate=cfg.dropout,
+               dropout_key=dropout_key, deterministic=deterministic)
+    return L.linear(block["cross_up"][i], L.gelu(attn))
+
+
+def _exchange(block, cfg: TemporalModelConfig, x_vars, ib, *, rng=None,
+              deterministic=True):
+    G = cfg.num_fields
+    mode = cfg.exchange_mode
+    if mode == "simple":
+        return x_vars
+    if mode == "sea":
+        # Sequential update (temporal.py:188-191): later i sees updated j<i.
+        x_vars = list(x_vars)
+        for i in range(G):
+            acc = None
+            for j in range(G):
+                if i == j:
+                    continue
+                dk = (jax.random.fold_in(rng, i * G + j)
+                      if rng is not None and not deterministic else None)
+                term = _sea_pair(block, cfg, x_vars[i], x_vars[j], i, j, ib,
+                                 dropout_key=dk, deterministic=deterministic)
+                acc = term if acc is None else acc + term
+            x_vars[i] = x_vars[i] + acc
+        return x_vars
+    if mode == "addition":
+        # Parallel update (temporal.py:299-308): normalized precomputed.
+        down = [L.linear(block["cross_down"][i], x) for i, x in
+                enumerate(x_vars)]
+        normed = [L.apply_norm(block["ln_cross"][i], d, ib)
+                  for i, d in enumerate(down)]
+        out = []
+        for i in range(G):
+            others = sum(normed[j] for j in range(G) if j != i)
+            combined = normed[i] + others
+            out.append(x_vars[i]
+                       + L.linear(block["cross_up"][i], L.gelu(combined)))
+        return out
+    if mode == "pool":
+        return _pool_exchange(block, cfg, x_vars, ib, rng=rng,
+                              deterministic=deterministic)
+    raise ValueError(mode)
+
+
+def _pool_exchange(block, cfg: TemporalModelConfig, x_vars, ib, *, rng=None,
+                   deterministic=True):
+    """SEAPoolBlockTemporal._apply_exchange (temporal.py:257-283).
+
+    The pool token is a single learnable token expanded to [B, 1, dd]; each
+    variable's full stream causally cross-attends to it. Includes the
+    reference's leftover sinusoidal-PE application (temporal.py:265,270)."""
+    G = cfg.num_fields
+    B = x_vars[0].shape[0]
+    down = [L.linear(block["cross_down"][i], x) for i, x in enumerate(x_vars)]
+    normed = [L.apply_norm(block["ln_cross"][i], d, ib)
+              for i, d in enumerate(down)]
+    normed = [L.positional_encoding(block["pool_pe"], x,
+                                    dropout_rate=cfg.dropout,
+                                    dropout_key=None, deterministic=True)
+              for x in normed]
+    pool = jnp.broadcast_to(block["pool_token"],
+                            (B,) + block["pool_token"].shape[1:])
+    # AdaLN cond for the single pool token: reference passes the full
+    # [B,T,ib] cond against a [B,1,dd] token, relying on broadcast — that
+    # only works when T==1 or LN type is plain LN; we pass the first step's
+    # cond for the adaln case (exercised configs use pool only with ln).
+    pool_cond = ib[:, :1] if ib is not None else None
+    pool = L.apply_norm(block["ln_pool"], pool, pool_cond)
+    pool = L.positional_encoding(block["pool_pe"], pool, dropout_rate=0.0,
+                                 deterministic=True)
+    if cfg.pool_update_method == "pooling":
+        w = block["pool_update"].reshape(1, G, 1, 1)
+        pool = jnp.sum(jnp.stack(normed, axis=1) * w, axis=1)
+    elif cfg.pool_update_method == "linear":
+        pool = L.linear(block["pool_update"], jnp.concatenate(normed, -1))
+    else:  # mlp
+        h = L.linear(block["pool_update"]["fc1"], jnp.concatenate(normed, -1))
+        pool = L.linear(block["pool_update"]["fc2"], L.gelu(h))
+    out = []
+    for i in range(G):
+        attn = mha(block["cross_attn"][i], normed[i], pool,
+                   n_heads=cfg.n_heads, causal=True, rope=True,
+                   src_len=cfg.src_len, dropout_rate=cfg.dropout,
+                   dropout_key=None, deterministic=deterministic)
+        combined = normed[i] + attn
+        out.append(x_vars[i]
+                   + L.linear(block["cross_up"][i], L.gelu(combined)))
+    return out
+
+
+def temporal_block(block, cfg: TemporalModelConfig, x_vars, ib, *, rng=None,
+                   deterministic=True):
+    """BaseBlockTemporal.forward (temporal.py:126-148)."""
+    G = cfg.num_fields
+    x_vars = list(x_vars)
+    rngs = (jax.random.split(rng, 4) if rng is not None and not deterministic
+            else [None] * 4)
+
+    if not cfg.add_info_after_cross:
+        for i in range(G):
+            dk = (jax.random.fold_in(rngs[0], i) if rngs[0] is not None
+                  else None)
+            x_vars[i] = _add_info(block, cfg, x_vars[i], ib, i,
+                                  dropout_key=dk, deterministic=deterministic)
+
+    for i in range(G):
+        dk = jax.random.fold_in(rngs[1], i) if rngs[1] is not None else None
+        h = L.apply_norm(block["ln_exp"][i][0], x_vars[i], ib)
+        x_vars[i] = x_vars[i] + mha(block["self_attn"][i], h, h,
+                                    n_heads=cfg.n_heads, causal=True,
+                                    rope=True, src_len=cfg.src_len,
+                                    dropout_rate=cfg.dropout, dropout_key=dk,
+                                    deterministic=deterministic)
+
+    x_vars = _exchange(block, cfg, x_vars, ib, rng=rngs[2],
+                       deterministic=deterministic)
+
+    if cfg.add_info_after_cross:
+        for i in range(G):
+            dk = (jax.random.fold_in(rngs[0], i) if rngs[0] is not None
+                  else None)
+            x_vars[i] = _add_info(block, cfg, x_vars[i], ib, i,
+                                  dropout_key=dk, deterministic=deterministic)
+
+    for i in range(G):
+        dk = jax.random.fold_in(rngs[3], i) if rngs[3] is not None else None
+        h = L.apply_norm(block["ln_exp"][i][2], x_vars[i], ib)
+        x_vars[i] = x_vars[i] + L.mlp(block["mlp"][i], h,
+                                      dropout_rate=cfg.dropout,
+                                      dropout_key=dk,
+                                      deterministic=deterministic)
+        x_vars[i] = L.linear(block["proj"][i], x_vars[i])
+    return x_vars
+
+
+def temporal_forward(params, cfg: TemporalModelConfig, x, ib, *, rng=None,
+                     deterministic: bool = True):
+    """x: [B, T, G, E], ib: [B, T, ib_num] -> [B, T, G, E].
+
+    TemporalModel.forward (temporal.py:405-416)."""
+    G = cfg.num_fields
+    assert x.shape[2] == G, (x.shape, G)
+    x_vars = [x[:, :, i, :] for i in range(G)]
+    for li, block in enumerate(params["blocks"]):
+        brng = (jax.random.fold_in(rng, li)
+                if rng is not None and not deterministic else None)
+        x_vars = temporal_block(block, cfg, x_vars, ib, rng=brng,
+                                deterministic=deterministic)
+    x_vars = [L.apply_norm(params["ln_final"][i], x_vars[i], ib)
+              for i in range(G)]
+    return jnp.stack(x_vars, axis=2)
+
+
+# ---------------------------------------------------------------------------
+# Incremental step (KV-cache) — used by rollout/engine.py
+# ---------------------------------------------------------------------------
+
+def init_temporal_cache(cfg: TemporalModelConfig, batch: int, t_max: int,
+                        dtype=jnp.float32):
+    """Caches: per (layer, stream) self-attention + per (layer, ordered pair)
+    SEA cross-attention. Pool/addition/simple modes need no pair caches
+    (pool re-reads only the current pool token; addition/simple have no
+    attention in the exchange)."""
+    G = cfg.num_fields
+    hd_self = cfg.internal_embed_dim // cfg.n_heads
+    hd_cross = cfg.down_dim // cfg.n_heads
+    layers = []
+    for _ in range(cfg.num_layers):
+        entry = {
+            "self": [init_kv_cache(batch, t_max, cfg.n_heads, hd_self, dtype)
+                     for _ in range(G)],
+        }
+        if cfg.exchange_mode == "sea":
+            entry["cross"] = [
+                [init_kv_cache(batch, t_max, cfg.n_heads, hd_cross, dtype)
+                 if i != j else None for j in range(G)]
+                for i in range(G)]
+        layers.append(entry)
+    return layers
+
+
+def temporal_step(params, cfg: TemporalModelConfig, x_t, ib_t, cache, t):
+    """One autoregressive step: token at absolute position t.
+
+    x_t:  [B, G, E] latent state at step t.
+    ib_t: [B, ib_num] conditioning at step t.
+    cache: pytree from init_temporal_cache (donated through lax.scan).
+    t: scalar int32.
+
+    Returns (y_t [B, G, E], new_cache). Numerically equivalent to
+    temporal_forward(x[:, :t+1])[:, t] with dropout off: every op outside
+    attention is per-token, attention is causal, and RoPE/AdaLN use absolute
+    position/per-token cond. Only implemented for exchange modes whose
+    exchange is causal-incremental (sea / addition / simple).
+    """
+    if cfg.exchange_mode == "pool":
+        raise NotImplementedError("pool-mode incremental rollout: the pool "
+                                  "token mixes full streams; use the "
+                                  "prefix-recompute fallback")
+    G = cfg.num_fields
+    ib_seq = ib_t[:, None, :]  # [B,1,ib] for ops expecting a time axis
+    x_vars = [x_t[:, i, :] for i in range(G)]
+    new_cache = []
+
+    for li, block in enumerate(params["blocks"]):
+        lcache = cache[li]
+        nc = {"self": [None] * G}
+        if cfg.exchange_mode == "sea":
+            nc["cross"] = [[None] * G for _ in range(G)]
+
+        if not cfg.add_info_after_cross:
+            for i in range(G):
+                x_vars[i] = _add_info_step(block, cfg, x_vars[i], ib_t, i)
+
+        for i in range(G):
+            h = _norm_step(block["ln_exp"][i][0], x_vars[i], ib_t)
+            out, nc["self"][i] = mha_step(block["self_attn"][i], h, h,
+                                          lcache["self"][i], t,
+                                          n_heads=cfg.n_heads, rope=True,
+                                          src_len=cfg.src_len)
+            x_vars[i] = x_vars[i] + out
+
+        if cfg.exchange_mode == "sea":
+            for i in range(G):
+                acc = None
+                for j in range(G):
+                    if i == j:
+                        continue
+                    x_i_down = L.linear(block["cross_down"][i], x_vars[i])
+                    x_j_down = L.linear(block["cross_down"][j], x_vars[j])
+                    x_i_norm = _norm_step(block["ln_cross"][i], x_i_down, ib_t)
+                    x_j_norm = _norm_step(block["ln_cross"][j], x_j_down, ib_t)
+                    attn, nc["cross"][i][j] = mha_step(
+                        block["cross_attn"][i][j], x_i_norm, x_j_norm,
+                        lcache["cross"][i][j], t, n_heads=cfg.n_heads,
+                        rope=True, src_len=cfg.src_len)
+                    term = L.linear(block["cross_up"][i], L.gelu(attn))
+                    acc = term if acc is None else acc + term
+                # Sequential update, matching temporal.py:188-191.
+                x_vars[i] = x_vars[i] + acc
+        elif cfg.exchange_mode == "addition":
+            down = [L.linear(block["cross_down"][i], x)
+                    for i, x in enumerate(x_vars)]
+            normed = [_norm_step(block["ln_cross"][i], d, ib_t)
+                      for i, d in enumerate(down)]
+            out = []
+            for i in range(G):
+                others = sum(normed[j] for j in range(G) if j != i)
+                combined = normed[i] + others
+                out.append(x_vars[i] + L.linear(block["cross_up"][i],
+                                                L.gelu(combined)))
+            x_vars = out
+
+        if cfg.add_info_after_cross:
+            for i in range(G):
+                x_vars[i] = _add_info_step(block, cfg, x_vars[i], ib_t, i)
+
+        for i in range(G):
+            h = _norm_step(block["ln_exp"][i][2], x_vars[i], ib_t)
+            x_vars[i] = x_vars[i] + L.mlp(block["mlp"][i], h)
+            x_vars[i] = L.linear(block["proj"][i], x_vars[i])
+        new_cache.append(nc)
+
+    x_vars = [_norm_step(params["ln_final"][i], x_vars[i], ib_t)
+              for i in range(G)]
+    return jnp.stack(x_vars, axis=1), new_cache
+
+
+def _norm_step(norm_params, x_2d, ib_t):
+    """apply_norm for [B, D] token with [B, ib] cond."""
+    if "cond_fc1" in norm_params:
+        return L.adaln(norm_params, x_2d, ib_t)
+    return L.layernorm(norm_params, x_2d)
+
+
+def _add_info_step(block, cfg: TemporalModelConfig, x_2d, ib_t, var_idx):
+    if cfg.ib_addition_mode == "none":
+        return x_2d
+    ib_out = _ib_output(block, cfg, ib_t)
+    if cfg.ib_addition_mode == "add":
+        return x_2d + ib_out
+    if cfg.ib_addition_mode == "concat":
+        return jnp.concatenate([x_2d, ib_out], axis=-1)
+    raise NotImplementedError(
+        "ib_addition_mode='attention' incremental step not supported "
+        "(unmasked attention over the ib stream is not causal-incremental)")

@@ -1,0 +1,179 @@
+"""Multi-head attention: one generic op covering the reference's four modules.
+
+Reference modules (models/base_blocks.py) and how they map here:
+- MultiHeadAttention        (:91-121)  -> mha(x, x, causal=False, rope=False)
+- MaskedMultiHeadAttention  (:155-203) -> mha(x, x, causal=True,  rope=True)
+- MultiHeadCrossAttention   (:205-242) -> mha(x1, x2, causal=False, rope=False)
+- MaskedMultiHeadCrossAttention (:246-295) -> mha(x1, x2, causal=True, rope=True)
+
+All share the same parameter structure: q/k/v Linear (with bias) and a
+bias-free output projection. The causal mask is tril(ones, diagonal=src_len)
+(base_blocks.py:173) — built on the fly as j <= i + src_len instead of
+materializing a [max_len, max_len] buffer.
+
+Softmax statistics are accumulated in float32 regardless of input dtype
+(bf16-safe); outputs are cast back to the input dtype.
+
+``mha_step`` is the incremental (KV-cache) form used by the rollout engine —
+one query token against a fixed-capacity cache, numerically identical to the
+full recompute for causal attention with deterministic (no-dropout) weights.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from sea_tpu.ops.layers import dropout as _dropout
+from sea_tpu.ops.layers import init_linear, linear
+from sea_tpu.ops.rope import apply_rope, rope_cos_sin
+
+NEG_INF = float("-inf")
+
+
+def init_attention(key, embed_dim: int, n_heads: int, *,
+                   init: str = "normal002", dtype=jnp.float32):
+    assert embed_dim % n_heads == 0, (embed_dim, n_heads)
+    kq, kk, kv, kp = jax.random.split(key, 4)
+    return {
+        "q": init_linear(kq, embed_dim, embed_dim, init=init, dtype=dtype),
+        "k": init_linear(kk, embed_dim, embed_dim, init=init, dtype=dtype),
+        "v": init_linear(kv, embed_dim, embed_dim, init=init, dtype=dtype),
+        "proj": init_linear(kp, embed_dim, embed_dim, bias=False, init=init,
+                            dtype=dtype),
+    }
+
+
+def _split_heads(x, n_heads):
+    B, T, C = x.shape
+    return x.reshape(B, T, n_heads, C // n_heads)
+
+
+def attention_core(q, k, v, *, causal: bool, src_len: int = 0,
+                   dropout_rate: float = 0.0, dropout_key=None,
+                   deterministic: bool = True):
+    """q: [B,Tq,H,hd], k/v: [B,Tk,H,hd] -> [B,Tq,H,hd].
+
+    Plain XLA path; the Pallas flash kernel (ops/flash_attention.py) replaces
+    this on TPU for long sequences. Kept as the reference implementation and
+    CPU/test fallback.
+    """
+    hd = q.shape[-1]
+    scale = hd ** -0.5
+    scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    if causal:
+        Tq, Tk = q.shape[1], k.shape[1]
+        qi = jnp.arange(Tq)[:, None]
+        kj = jnp.arange(Tk)[None, :]
+        mask = kj <= qi + src_len
+        scores = jnp.where(mask[None, None], scores, NEG_INF)
+    probs = jax.nn.softmax(scores, axis=-1)
+    probs = _dropout(probs, dropout_rate, dropout_key, deterministic)
+    out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v.dtype), v,
+                     preferred_element_type=jnp.float32)
+    return out.astype(q.dtype)
+
+
+def mha(params, x_q, x_kv, *, n_heads: int, causal: bool, rope: bool,
+        src_len: int = 0, dropout_rate: float = 0.0, dropout_key=None,
+        deterministic: bool = True, impl: str = "auto"):
+    """Full-sequence multi-head attention.
+
+    x_q: [B, Tq, C]; x_kv: [B, Tk, C]. When ``rope`` is True the reference
+    assumes Tq == Tk and rotates both streams with absolute positions 0..T-1
+    (base_blocks.py:184,276).
+    """
+    B, Tq, C = x_q.shape
+    q = _split_heads(linear(params["q"], x_q), n_heads)
+    k = _split_heads(linear(params["k"], x_kv), n_heads)
+    v = _split_heads(linear(params["v"], x_kv), n_heads)
+
+    if rope:
+        hd = C // n_heads
+        cos_q, sin_q = rope_cos_sin(hd, jnp.arange(Tq), dtype=jnp.float32)
+        q = apply_rope(q, cos_q, sin_q)
+        Tk = x_kv.shape[1]
+        if Tk == Tq:
+            cos_k, sin_k = cos_q, sin_q
+        else:
+            cos_k, sin_k = rope_cos_sin(hd, jnp.arange(Tk), dtype=jnp.float32)
+        k = apply_rope(k, cos_k, sin_k)
+
+    use_flash = False
+    if impl == "flash":
+        use_flash = True
+    elif impl == "auto":
+        try:
+            from sea_tpu.ops import flash_attention as _fa
+            use_flash = _fa.flash_supported(q, k, causal=causal,
+                                            dropout_rate=dropout_rate,
+                                            deterministic=deterministic)
+        except ImportError:  # pragma: no cover
+            use_flash = False
+
+    if use_flash:
+        from sea_tpu.ops import flash_attention as _fa
+        out = _fa.flash_attention(q, k, v, causal=causal, src_len=src_len)
+    else:
+        out = attention_core(q, k, v, causal=causal, src_len=src_len,
+                             dropout_rate=dropout_rate,
+                             dropout_key=dropout_key,
+                             deterministic=deterministic)
+    out = out.reshape(B, Tq, C)
+    return linear(params["proj"], out)
+
+
+def mha_step(params, x_q_t, x_kv_t, cache, t, *, n_heads: int, rope: bool,
+             src_len: int = 0):
+    """Single-token incremental attention with a KV cache.
+
+    x_q_t:  [B, C] query token at absolute position t.
+    x_kv_t: [B, C] key/value token at absolute position t (for self-attention
+            pass the same tensor; for the SEA cross-exchange pass the other
+            stream's token).
+    cache:  {"k": [B, T_max, H, hd], "v": [B, T_max, H, hd]} carried through
+            jax.lax.scan; entries at positions > t are masked out.
+    t:      scalar int32 absolute position.
+
+    Returns (out [B, C], new_cache). Equivalent to the reference's
+    prefix-recompute rollout (utils/train_utils.py:202-207) because causal
+    attention output at position t depends only on tokens <= t + src_len and
+    rollout runs with dropout disabled.
+    """
+    B, C = x_q_t.shape
+    hd = C // n_heads
+    q = linear(params["q"], x_q_t).reshape(B, 1, n_heads, hd)
+    k = linear(params["k"], x_kv_t).reshape(B, 1, n_heads, hd)
+    v = linear(params["v"], x_kv_t).reshape(B, 1, n_heads, hd)
+
+    if rope:
+        pos = jnp.full((1,), t, dtype=jnp.int32)
+        cos, sin = rope_cos_sin(hd, pos, dtype=jnp.float32)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+
+    cache_k = jax.lax.dynamic_update_slice_in_dim(
+        cache["k"], k.astype(cache["k"].dtype), t, axis=1)
+    cache_v = jax.lax.dynamic_update_slice_in_dim(
+        cache["v"], v.astype(cache["v"].dtype), t, axis=1)
+
+    T_max = cache_k.shape[1]
+    scale = hd ** -0.5
+    scores = jnp.einsum("bqhd,bkhd->bhqk", q, cache_k,
+                        preferred_element_type=jnp.float32) * scale
+    valid = jnp.arange(T_max)[None, None, None, :] <= (t + src_len)
+    scores = jnp.where(valid, scores, NEG_INF)
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(cache_v.dtype), cache_v,
+                     preferred_element_type=jnp.float32)
+    out = out.astype(x_q_t.dtype).reshape(B, C)
+    return linear(params["proj"], out), {"k": cache_k, "v": cache_v}
+
+
+def init_kv_cache(batch: int, t_max: int, n_heads: int, head_dim: int,
+                  dtype=jnp.float32):
+    shape = (batch, t_max, n_heads, head_dim)
+    return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}

@@ -1,0 +1,269 @@
+"""Functional NN primitives (pure pytree params + apply functions).
+
+Behavioral mirror of the reference models/base_blocks.py, re-expressed as
+JAX-idiomatic pure functions over parameter pytrees (nested dicts of
+jnp.ndarray). Numerics notes:
+
+- GELU: the reference uses torch.nn.GELU() which is the *exact* erf form, so
+  every gelu here is ``jax.nn.gelu(x, approximate=False)``.
+- LayerNorm eps is 1e-5 everywhere (base_blocks.py:88, torch default).
+- Two init families exist in the reference:
+  * ``normal002``: N(0, 0.02) weights / zero bias, applied by the models'
+    ``_init_weights`` (encoder_decoder.py:96-103, temporal.py:395-402).
+  * ``torch_default``: PyTorch's default Linear init (kaiming-uniform,
+    bound 1/sqrt(fan_in)), which applies to modules constructed *after*
+    ``self.apply(_init_weights)`` ran — notably the spatial down/up-scale
+    MLP heads (encoder_decoder.py:89-94,126-135 construction order quirk).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+LN_EPS = 1e-5
+
+
+def gelu(x):
+    return jax.nn.gelu(x, approximate=False)
+
+
+# ---------------------------------------------------------------------------
+# Linear
+# ---------------------------------------------------------------------------
+
+def init_linear(key, d_in: int, d_out: int, *, bias: bool = True,
+                init: str = "normal002", dtype=jnp.float32):
+    """init: 'normal002' (N(0,.02)/zero-bias) or 'torch_default'."""
+    wkey, bkey = jax.random.split(key)
+    if init == "normal002":
+        w = 0.02 * jax.random.normal(wkey, (d_in, d_out), dtype)
+        b = jnp.zeros((d_out,), dtype) if bias else None
+    elif init == "torch_default":
+        bound = 1.0 / math.sqrt(d_in)
+        w = jax.random.uniform(wkey, (d_in, d_out), dtype, -bound, bound)
+        b = (jax.random.uniform(bkey, (d_out,), dtype, -bound, bound)
+             if bias else None)
+    else:
+        raise ValueError(f"unknown init {init!r}")
+    p = {"w": w}
+    if b is not None:
+        p["b"] = b
+    return p
+
+
+def linear(params, x):
+    y = x @ params["w"]
+    if "b" in params:
+        y = y + params["b"]
+    return y
+
+
+# ---------------------------------------------------------------------------
+# LayerNorm family
+# ---------------------------------------------------------------------------
+
+def init_layernorm(dim: int, *, bias: bool = True, dtype=jnp.float32):
+    """torch nn.LayerNorm-style (weight+bias) or weight-only
+    (base_blocks.py:80-88 LayerNorm with bias=False)."""
+    p = {"w": jnp.ones((dim,), dtype)}
+    if bias:
+        p["b"] = jnp.zeros((dim,), dtype)
+    return p
+
+
+def layernorm(params, x, eps: float = LN_EPS):
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.var(x, axis=-1, keepdims=True)
+    y = (x - mean) * jax.lax.rsqrt(var + eps)
+    y = y * params["w"]
+    if "b" in params:
+        y = y + params["b"]
+    return y
+
+
+def init_adaln(key, embed_dim: int, cond_dim: int, *, init: str = "normal002",
+               dtype=jnp.float32):
+    """Adaptive LayerNorm (base_blocks.py:330-350): base learnable
+    (weight, bias) plus a cond -> SiLU-MLP producing per-token (weight, bias)
+    deltas; cond weight gets +1 before combining."""
+    k1, k2 = jax.random.split(key)
+    return {
+        "w": jnp.ones((embed_dim,), dtype),
+        "b": jnp.zeros((embed_dim,), dtype),
+        "cond_fc1": init_linear(k1, cond_dim, 2 * embed_dim, init=init,
+                                dtype=dtype),
+        "cond_fc2": init_linear(k2, 2 * embed_dim, 2 * embed_dim, init=init,
+                                dtype=dtype),
+    }
+
+
+def adaln(params, x, cond, eps: float = LN_EPS):
+    """x: [..., D], cond: broadcastable [..., cond_dim] (per-token).
+
+    Exact formula of base_blocks.py:343-350 including the ``weight + 1`` and
+    additive-base quirks: out = norm(x) * (base_w + (cond_w+1)) + (base_b + cond_b).
+    """
+    h = linear(params["cond_fc1"], cond)
+    h = jax.nn.silu(h)
+    h = linear(params["cond_fc2"], h)
+    cw, cb = jnp.split(h, 2, axis=-1)
+    cw = cw + 1.0
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.var(x, axis=-1, keepdims=True)
+    normalized = (x - mean) * jax.lax.rsqrt(var + eps)
+    return normalized * (params["w"] + cw) + (params["b"] + cb)
+
+
+def apply_norm(params, x, cond=None):
+    """Dispatch on param structure: AdaLN if cond_fc1 present, else LayerNorm.
+
+    Mirrors the reference's call-compatibility trick where plain LayerNorm
+    accepts and ignores ``cond`` (base_blocks.py:87)."""
+    if "cond_fc1" in params:
+        return adaln(params, x, cond)
+    return layernorm(params, x)
+
+
+# ---------------------------------------------------------------------------
+# Dropout
+# ---------------------------------------------------------------------------
+
+def dropout(x, rate: float, key: Optional[jax.Array], deterministic: bool):
+    if deterministic or rate == 0.0 or key is None:
+        return x
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(key, keep, x.shape)
+    return jnp.where(mask, x / keep, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# MLPs
+# ---------------------------------------------------------------------------
+
+def init_mlp(key, dim_in: int, *, scale_ratio: float = 4, dim_out=None,
+             num_layers=None, init: str = "normal002", dtype=jnp.float32):
+    """Reference MLP (base_blocks.py:9-47): GELU MLP with torch-default
+    LayerNorms between hidden layers. The reference's ``residual_projection``
+    is created when dim_in != dim_out but never used in forward
+    (base_blocks.py:15-17 dead code) — we do not create it.
+
+    Layer sequence for num_layers in (None, 1):
+        Linear(in->scaled) -> LN(scaled) -> GELU -> Linear(scaled->out)
+    For num_layers = L > 1:
+        [Linear -> LN -> GELU] x (L-1) -> Linear(scaled->out)
+    """
+    if dim_out is None:
+        dim_out = dim_in
+    scaled = max(1, int(dim_in * scale_ratio))
+    n = 1 if num_layers is None else num_layers
+    keys = jax.random.split(key, max(n, 2))
+    layers = []
+    if n == 1:
+        layers.append({"lin": init_linear(keys[0], dim_in, scaled, init=init,
+                                          dtype=dtype),
+                       "ln": init_layernorm(scaled, dtype=dtype),
+                       "act": True})
+        layers.append({"lin": init_linear(keys[1], scaled, dim_out, init=init,
+                                          dtype=dtype)})
+    else:
+        for i in range(n):
+            if i == 0:
+                entry = {"lin": init_linear(keys[i], dim_in, scaled, init=init,
+                                            dtype=dtype),
+                         "ln": init_layernorm(scaled, dtype=dtype)}
+            elif i == n - 1:
+                entry = {"lin": init_linear(keys[i], scaled, dim_out,
+                                            init=init, dtype=dtype)}
+            else:
+                entry = {"lin": init_linear(keys[i], scaled, scaled, init=init,
+                                            dtype=dtype),
+                         "ln": init_layernorm(scaled, dtype=dtype)}
+            if i != n - 1:
+                entry["act"] = True
+            layers.append(entry)
+    return {"layers": layers}
+
+
+def mlp(params, x, *, dropout_rate: float = 0.0, dropout_key=None,
+        deterministic: bool = True):
+    for entry in params["layers"]:
+        x = linear(entry["lin"], x)
+        if "ln" in entry:
+            x = layernorm(entry["ln"], x)
+        if entry.get("act"):
+            x = gelu(x)
+    return dropout(x, dropout_rate, dropout_key, deterministic)
+
+
+def init_scale_mlp(key, d_in: int, d_out: int, hidden: int, *,
+                   init: str = "torch_default", dtype=jnp.float32):
+    """up/downScaleMLP (base_blocks.py:49-78): Linear(no-bias) -> GELU ->
+    Linear. Same structure both directions; only dims differ. These are the
+    stage-1 encoder/decoder heads, which in the reference keep torch-default
+    init (constructed after _init_weights ran, encoder_decoder.py:89-94)."""
+    k1, k2 = jax.random.split(key)
+    return {
+        "fc1": init_linear(k1, d_in, hidden, bias=False, init=init,
+                           dtype=dtype),
+        "fc2": init_linear(k2, hidden, d_out, init=init, dtype=dtype),
+    }
+
+
+def scale_mlp(params, x):
+    return linear(params["fc2"], gelu(linear(params["fc1"], x)))
+
+
+# ---------------------------------------------------------------------------
+# Positional encodings / Fourier features
+# ---------------------------------------------------------------------------
+
+def sinusoidal_pe_table(d_model: int, max_len: int = 5000, dtype=jnp.float32):
+    """Fixed sinusoidal table (base_blocks.py:355-368), including the odd-dim
+    guard where cos uses only the first d_model//2 frequencies."""
+    position = jnp.arange(max_len, dtype=jnp.float32)[:, None]
+    div_term = jnp.exp(jnp.arange(0, d_model, 2, dtype=jnp.float32)
+                       * (-math.log(10000.0) / d_model))
+    pe = jnp.zeros((max_len, d_model), jnp.float32)
+    pe = pe.at[:, 0::2].set(jnp.sin(position * div_term))
+    pe = pe.at[:, 1::2].set(jnp.cos(position * div_term[: d_model // 2]))
+    return pe.astype(dtype)
+
+
+def positional_encoding(pe_table, x, *, dropout_rate: float = 0.0,
+                        dropout_key=None, deterministic: bool = True):
+    """x: [..., T, D]; adds pe_table[:T]."""
+    T = x.shape[-2]
+    x = x + pe_table[:T]
+    return dropout(x, dropout_rate, dropout_key, deterministic)
+
+
+def init_learnable_pe(key, d_model: int, max_len: int = 5000,
+                      dtype=jnp.float32):
+    """PositionalEncodingLearnable (base_blocks.py:375-385): N(0,1) table."""
+    return {"pe": jax.random.normal(key, (max_len, d_model), dtype)}
+
+
+def learnable_pe(params, x, *, dropout_rate: float = 0.0, dropout_key=None,
+                 deterministic: bool = True):
+    T = x.shape[-2]
+    x = x + params["pe"][:T]
+    return dropout(x, dropout_rate, dropout_key, deterministic)
+
+
+def init_gaussian_fourier(key, input_dim: int, half_dim: int = 256,
+                          scale: float = 1.0, dtype=jnp.float32):
+    """GaussianFourierProjection (base_blocks.py:143-151): fixed random W,
+    non-trainable. Marked by convention: callers must stop_gradient it, or we
+    simply never include it in the trainable partition — since it has no
+    gradient path issue (stop_gradient applied in apply)."""
+    return {"W": jax.random.normal(key, (input_dim, half_dim), dtype) * scale}
+
+
+def gaussian_fourier(params, x):
+    W = jax.lax.stop_gradient(params["W"])
+    proj = (x @ W) * (2.0 * math.pi)
+    return jnp.concatenate([jnp.sin(proj), jnp.cos(proj)], axis=-1)
