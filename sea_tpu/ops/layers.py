@@ -165,8 +165,7 @@ def init_mlp(key, dim_in: int, *, scale_ratio: float = 4, dim_out=None,
     if n == 1:
         layers.append({"lin": init_linear(keys[0], dim_in, scaled, init=init,
                                           dtype=dtype),
-                       "ln": init_layernorm(scaled, dtype=dtype),
-                       "act": True})
+                       "ln": init_layernorm(scaled, dtype=dtype)})
         layers.append({"lin": init_linear(keys[1], scaled, dim_out, init=init,
                                           dtype=dtype)})
     else:
@@ -182,8 +181,6 @@ def init_mlp(key, dim_in: int, *, scale_ratio: float = 4, dim_out=None,
                 entry = {"lin": init_linear(keys[i], scaled, scaled, init=init,
                                             dtype=dtype),
                          "ln": init_layernorm(scaled, dtype=dtype)}
-            if i != n - 1:
-                entry["act"] = True
             layers.append(entry)
     return {"layers": layers}
 
@@ -193,9 +190,10 @@ def mlp(params, x, *, dropout_rate: float = 0.0, dropout_key=None,
     for entry in params["layers"]:
         x = linear(entry["lin"], x)
         if "ln" in entry:
-            x = layernorm(entry["ln"], x)
-        if entry.get("act"):
-            x = gelu(x)
+            # In the reference MLP, GELU always follows a hidden LayerNorm
+            # (base_blocks.py:21-39), so activation is keyed on its presence
+            # (structural metadata must not be a pytree leaf under jit).
+            x = gelu(layernorm(entry["ln"], x))
     return dropout(x, dropout_rate, dropout_key, deterministic)
 
 

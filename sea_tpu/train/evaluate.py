@@ -1,0 +1,164 @@
+"""Evaluation flows: full autoregressive rollout eval and stage-1 test.
+
+Mirrors reference utils/train_utils.py:
+- full_autoregressive_evaluation (:186-312): rollout the temporal model over
+  a test set, compute encoded (latent) rel-MSE, decode through the frozen
+  stage-1 model, un-patch/un-scale, compute decoded rel-MSE per (time,
+  field), write the rollout CSV + field plots + error-vs-time plot.
+- test_encoder_decoder (:364-431): stage-1 reconstruction quality with
+  MSE before/after un-patching and rel-MSE, plus sample field plots.
+
+The rollout itself runs on the scan+KV-cache engine (rollout/engine.py)
+instead of the reference's O(T^2) prefix-recompute loop.
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+from typing import Any, Dict, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from sea_tpu.configs.base import CaseConfig
+from sea_tpu.data.datasets import invert_sea_layout
+from sea_tpu.data.latents import (LatentService, inverse_transform_latents)
+from sea_tpu.data.mesh import MeshProcessor
+from sea_tpu.rollout.engine import rollout
+from sea_tpu.train import metrics as M
+from sea_tpu.utils.plotting import (plot_all_fields_2d, plot_all_fields_3d,
+                                    plot_rollout_error)
+
+
+def full_autoregressive_evaluation(params, case: CaseConfig, windows,
+                                   latent_service: LatentService,
+                                   mesh_processor: MeshProcessor, *,
+                                   epoch: int = 0, plot_traj: bool = True,
+                                   save_artifacts: bool = True
+                                   ) -> Dict[str, Any]:
+    """windows: TemporalWindows (src, tgt, tgt_original, ib).
+
+    Returns {encoded_rel_mse, decoded_rel_mse, decoded_rel_mse_per_time
+    [T, F]} averaged over the set.
+    """
+    tcfg = case.temporal
+    src = jnp.asarray(windows.src)
+    tgt = np.asarray(windows.tgt)
+    ib = jnp.asarray(windows.ib)
+    B, T = src.shape[0], src.shape[1]
+
+    preds = np.asarray(rollout(params, tcfg, src[:, 0], ib))  # [B,T,G,E]
+
+    encoded_rel_mse = float(np.mean(np.asarray(
+        M.relative_mse(jnp.asarray(preds), jnp.asarray(tgt)))))
+
+    # Decode through the frozen stage-1 model.
+    P = case.mesh.num_patches
+    lat = inverse_transform_latents(preds, P)  # [B*T, P, G, D]
+    decoded = latent_service.decode_dataset(lat)  # [B*T, P, F, C]
+    decoded = invert_sea_layout(decoded, case.run.sea_layout)  # [B*T,P,C,F]
+    flat = mesh_processor.inverse_scale_and_unpatch(decoded)  # [B*T, N, F]
+    N, F = flat.shape[1], flat.shape[2]
+    decoded_fields = flat.reshape(B, T, N, F)
+
+    original = np.asarray(windows.tgt_original)  # [B, T, N, F]
+    rel = np.asarray(M.relative_mse_with_time(
+        jnp.asarray(decoded_fields), jnp.asarray(original)))  # [B, T, F]
+    per_time = rel.mean(axis=0)  # [T, F]
+    decoded_rel_mse = float(per_time.mean())
+
+    if save_artifacts:
+        save_dir = case.run.save_dir
+        os.makedirs(save_dir, exist_ok=True)
+        # Rollout CSV (train_utils.py:277-285).
+        csv_path = os.path.join(
+            save_dir,
+            f"rollout_error_{case.run.case_name}_{case.run.run_name}.csv")
+        with open(csv_path, "w", newline="") as fh:
+            writer = csv.writer(fh)
+            writer.writerow(["Time Step"] + [f"Field {i+1}"
+                                             for i in range(per_time.shape[1])])
+            for i, row in enumerate(per_time):
+                writer.writerow([i + 1] + list(row))
+        # Field plots for 5 seeded random timesteps (train_utils.py:242-276).
+        rng = np.random.RandomState(case.temporal_split.random_seed)
+        n_samples = min(5, T)
+        sample_idx = rng.choice(T, n_samples, replace=False)
+        coords = mesh_processor.coordinates
+        for idx in sample_idx:
+            if case.mesh.dimension == "2D":
+                plot_all_fields_2d(original[0], coords[:, 0], coords[:, 1],
+                                   int(idx), filename=os.path.join(
+                    save_dir, f"temporal_original_data_{idx}_{epoch}.png"))
+                plot_all_fields_2d(decoded_fields[0], coords[:, 0],
+                                   coords[:, 1], int(idx),
+                                   filename=os.path.join(
+                    save_dir, f"temporal_decoded_data_{idx}_{epoch}.png"))
+            else:
+                plot_all_fields_3d(original[0], coords[:, 0], coords[:, 1],
+                                   coords[:, 2], int(idx),
+                                   filename=os.path.join(
+                    save_dir, f"temporal_original_data_{idx}_{epoch}.png"))
+                plot_all_fields_3d(decoded_fields[0], coords[:, 0],
+                                   coords[:, 1], coords[:, 2], int(idx),
+                                   filename=os.path.join(
+                    save_dir, f"temporal_decoded_data_{idx}_{epoch}.png"))
+        if plot_traj:
+            plot_rollout_error(per_time, os.path.join(
+                save_dir,
+                f"rollout_error_{case.run.case_name}_"
+                f"{case.run.run_name}.png"))
+
+    return {"encoded_rel_mse": encoded_rel_mse,
+            "decoded_rel_mse": decoded_rel_mse,
+            "decoded_rel_mse_per_time": per_time}
+
+
+def test_encoder_decoder(spatial_params, case: CaseConfig, tokens,
+                         mesh_processor: MeshProcessor, *,
+                         save_artifacts: bool = True,
+                         spatial_cfg=None) -> Dict[str, float]:
+    """tokens: [B, P, F, C] test snapshots (layout already applied).
+
+    Mirror of test_encoder_decoder (train_utils.py:364-431).
+    """
+    cfg = spatial_cfg or case.spatial
+    svc = LatentService(cfg, spatial_params)
+    z = svc.encode_dataset(tokens)
+    recon = svc.decode_dataset(z)
+
+    pre_unpatch_mse = float(np.mean((recon - tokens) ** 2))
+
+    decoded = invert_sea_layout(recon, case.run.sea_layout)
+    original = invert_sea_layout(np.asarray(tokens), case.run.sea_layout)
+    decoded_flat = mesh_processor.inverse_scale_and_unpatch(decoded)
+    original_flat = mesh_processor.inverse_scale_and_unpatch(original)
+
+    post_unpatch_mse = float(np.mean((decoded_flat - original_flat) ** 2))
+    rel = float(np.mean(np.asarray(M.relative_mse(
+        jnp.asarray(decoded_flat), jnp.asarray(original_flat), axis=1))))
+
+    if save_artifacts:
+        save_dir = case.run.save_dir
+        os.makedirs(save_dir, exist_ok=True)
+        rng = np.random.RandomState(case.spatial_split.random_seed)
+        n = min(5, original_flat.shape[0])
+        coords = mesh_processor.coordinates
+        for idx in rng.choice(original_flat.shape[0], n, replace=False):
+            if case.mesh.dimension == "2D":
+                plot_all_fields_2d(original_flat, coords[:, 0], coords[:, 1],
+                                   int(idx), filename=os.path.join(
+                    save_dir, f"original_data_{idx}.png"))
+                plot_all_fields_2d(decoded_flat, coords[:, 0], coords[:, 1],
+                                   int(idx), filename=os.path.join(
+                    save_dir, f"decoded_data_{idx}.png"))
+
+    print(f"Test Loss before inverse scaling and unpatching: "
+          f"{pre_unpatch_mse:.6f}")
+    print(f"Test Loss after inverse scaling and unpatching: "
+          f"{post_unpatch_mse:.6f}")
+    print(f"Test Relative MSE after inverse scaling and unpatching: "
+          f"{rel:.6f}")
+    return {"mse_patched": pre_unpatch_mse, "mse_unpatched": post_unpatch_mse,
+            "relative_mse": rel}

@@ -1,0 +1,212 @@
+"""Stage-1 (spatial autoencoder) training driver.
+
+Mirror of reference train/train_encoder.py: load data, snapshot-level
+shuffled split (:84-105), MeshProcessor patchify (:107-109), SEA layout
+(:121-132), AdamW + MSE (or Vloss when variational), epoch loop with R^2
+tracking (:226), periodic validation (:247-289), best-val-recon checkpoint
+(:299-308), wall-clock total (:310-312).
+
+TPU-native: the train step is one jit-compiled program with donated
+(params, opt_state); data-parallel over a device mesh via NamedSharding
+(batch sharded on the 'data' axis, params replicated — XLA inserts the
+gradient all-reduce over ICI).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from sea_tpu.configs.base import CaseConfig, SpatialModelConfig
+from sea_tpu.data.datasets import apply_sea_layout, batch_iterator, \
+    split_indices
+from sea_tpu.data.io import load_case_data
+from sea_tpu.data.mesh import MeshProcessor
+from sea_tpu.models.spatial import init_spatial, spatial_forward
+from sea_tpu.train import metrics as M
+from sea_tpu.train.optim import make_optimizer
+from sea_tpu.train.tracking import BaseErrorTracker, NoOpErrorTracker
+from sea_tpu.utils.checkpoint import save_checkpoint
+
+
+@dataclasses.dataclass
+class SpatialData:
+    train: np.ndarray  # [B, P, F, C]
+    val: np.ndarray
+    test: np.ndarray
+    mesh_processor: MeshProcessor
+    spatial_cfg: SpatialModelConfig  # with n_inp derived
+
+
+def process_data(case: CaseConfig, *, data=None) -> SpatialData:
+    """data: optional (fields [tr,T,N,F], coords, ib) tuple to bypass file
+    loading (tests / synthetic runs)."""
+    if data is None:
+        fields, coords, _ = load_case_data(case.run.field_data_path,
+                                           case.run.coordinates_path,
+                                           case.run.input_path)
+    else:
+        fields, coords, _ = data
+    tr, T, N, F = fields.shape
+    snapshots = fields.reshape(tr * T, N, F)
+
+    train_idx, val_idx, test_idx = split_indices(
+        tr * T, case.spatial_split.train_fraction,
+        case.spatial_split.val_fraction, case.spatial_split.random_seed)
+
+    mp = MeshProcessor(case.mesh, case.spatial.field_groups, coords,
+                       save_dir=case.run.save_dir)
+    _, patched = mp.patchify_and_scale(
+        snapshots, fit_scalers=True,
+        perform_initial_test=case.run.perform_initial_test)
+    tokens = apply_sea_layout(patched, case.run.sea_layout)  # [B,P,F,C]
+
+    scfg = case.spatial.with_n_inp(mp.cells_per_patch)
+    return SpatialData(train=tokens[train_idx], val=tokens[val_idx],
+                       test=tokens[test_idx], mesh_processor=mp,
+                       spatial_cfg=scfg)
+
+
+def make_train_step(cfg: SpatialModelConfig, tx, *, kl_weight_min=0.0,
+                    kl_weight_max=0.0, total_steps: int = 1):
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def step(params, opt_state, batch, rng, iteration):
+        def loss_fn(p):
+            if cfg.variational:
+                recon, mu, logvar = spatial_forward(p, cfg, batch, rng=rng,
+                                                    deterministic=False)
+                total, recon_loss, kl = M.vloss(
+                    batch, recon, mu, logvar, kl_weight_min=kl_weight_min,
+                    kl_weight_max=kl_weight_max, iteration=iteration,
+                    total_steps=total_steps)
+                return total, (recon, recon_loss, kl)
+            recon = spatial_forward(p, cfg, batch, rng=rng,
+                                    deterministic=False)
+            loss = M.mse(recon, batch)
+            return loss, (recon, loss, jnp.zeros(()))
+        (loss, (recon, recon_loss, kl)), grads = \
+            jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        r2 = M.r2(recon, batch)
+        return params, opt_state, {"loss": loss, "recon_loss": recon_loss,
+                                   "kl_loss": kl, "r2": r2}
+    return step
+
+
+def make_eval_step(cfg: SpatialModelConfig, *, kl_weight_min=0.0,
+                   kl_weight_max=0.0, total_steps: int = 1):
+    @jax.jit
+    def step(params, batch, iteration):
+        if cfg.variational:
+            recon, mu, logvar = spatial_forward(params, cfg, batch)
+            total, recon_loss, kl = M.vloss(
+                batch, recon, mu, logvar, kl_weight_min=kl_weight_min,
+                kl_weight_max=kl_weight_max, iteration=iteration,
+                total_steps=total_steps)
+        else:
+            recon = spatial_forward(params, cfg, batch)
+            total = recon_loss = M.mse(recon, batch)
+            kl = jnp.zeros(())
+        return {"loss": total, "recon_loss": recon_loss, "kl_loss": kl,
+                "r2": M.r2(recon, batch)}
+    return step
+
+
+def train(case: CaseConfig,
+          error_tracker: Optional[BaseErrorTracker] = None, *,
+          data=None, seed: int = 0,
+          epochs: Optional[int] = None) -> Tuple[Any, SpatialData]:
+    """Returns (best params, data). ``epochs`` overrides the config (for
+    quick end-to-end slices)."""
+    tracker = error_tracker or NoOpErrorTracker()
+    tcfg = case.spatial_train
+    sd = process_data(case, data=data)
+    cfg = sd.spatial_cfg
+
+    rng = jax.random.PRNGKey(seed)
+    rng, init_key = jax.random.split(rng)
+    params = init_spatial(init_key, cfg)
+    tx = make_optimizer(tcfg)
+    opt_state = tx.init(params)
+
+    total_steps = max(1, round(tcfg.epoch_num * len(sd.train)
+                               // max(1, tcfg.batch_size)))
+    train_step = make_train_step(cfg, tx, kl_weight_min=tcfg.kl_weight_min,
+                                 kl_weight_max=tcfg.kl_weight_max,
+                                 total_steps=total_steps)
+    eval_step = make_eval_step(cfg, kl_weight_min=tcfg.kl_weight_min,
+                               kl_weight_max=tcfg.kl_weight_max,
+                               total_steps=total_steps)
+
+    n_epochs = epochs if epochs is not None else tcfg.epoch_num
+    best_val = float("inf")
+    best_params = params
+    iteration = 0
+    start = time.time()
+
+    for epoch in range(1, n_epochs + 1):
+        agg = {"loss": 0.0, "recon_loss": 0.0, "kl_loss": 0.0, "r2": 0.0}
+        nb = 0
+        for (batch,) in batch_iterator([sd.train], tcfg.batch_size,
+                                       shuffle=True,
+                                       seed=case.spatial_split.random_seed,
+                                       epoch=epoch, drop_remainder=True):
+            rng, step_key = jax.random.split(rng)
+            params, opt_state, stats = train_step(
+                params, opt_state, jnp.asarray(batch), step_key,
+                jnp.asarray(iteration))
+            for k in agg:
+                agg[k] += float(stats[k])
+            nb += 1
+            iteration += 1
+        if nb == 0:
+            raise ValueError("train split smaller than one batch")
+        train_metrics = {"Loss": agg["loss"] / nb,
+                         "Recon_Loss": agg["recon_loss"] / nb,
+                         "R2": agg["r2"] / nb}
+        if cfg.variational:
+            train_metrics["KL_Loss"] = agg["kl_loss"] / nb
+        tracker.record_error("train", epoch, train_metrics)
+
+        if epoch % tcfg.validation_interval == 0 or epoch == n_epochs:
+            vagg = {"loss": 0.0, "recon_loss": 0.0, "kl_loss": 0.0,
+                    "r2": 0.0}
+            vb = 0
+            for (batch,) in batch_iterator([sd.val], tcfg.batch_size,
+                                           shuffle=False):
+                stats = eval_step(params, jnp.asarray(batch),
+                                  jnp.asarray(iteration))
+                for k in vagg:
+                    vagg[k] += float(stats[k])
+                vb += 1
+            val_metrics = {"Loss": vagg["loss"] / vb,
+                           "Recon_Loss": vagg["recon_loss"] / vb,
+                           "R2": vagg["r2"] / vb}
+            if cfg.variational:
+                val_metrics["KL_Loss"] = vagg["kl_loss"] / vb
+            tracker.record_error("val", epoch, val_metrics)
+            print(f"Epoch {epoch}/{n_epochs} train Loss "
+                  f"{train_metrics['Loss']:.8f} R2 {train_metrics['R2']:.6f}"
+                  f" | val Loss {val_metrics['Loss']:.8f}")
+
+            # Best-val-recon checkpoint (train_encoder.py:299-308).
+            if val_metrics["Recon_Loss"] < best_val:
+                best_val = val_metrics["Recon_Loss"]
+                best_params = jax.tree.map(lambda x: np.asarray(x), params)
+                save_checkpoint(case.run.save_dir, "encoder_decoder",
+                                case.run.case_name, case.run.run_name,
+                                best_params,
+                                meta={"epoch": epoch, "val_loss": best_val})
+                print("--- New Best Model Saved ---")
+
+    print(f"Total training time: {time.time() - start:.2f} seconds")
+    tracker.finish()
+    return best_params, sd

@@ -1,0 +1,217 @@
+"""Stage-2 (temporal State-Exchange transformer) training driver.
+
+Mirror of reference train/train_temporal.py: trajectory-level split
+(:113-132), patchify all snapshots (:135-136), frozen-encoder latent pass
+(:163-165) reshaped to [tr, T, G, P*D], window datasets (:49-75), AdamW +
+teacher-forced next-step MSE (:252-262), periodic validation (:273-292),
+full autoregressive eval every ``full_eval_interval`` epochs with its own
+best-rollout checkpoint (:295-320), and a best-val-loss checkpoint
+(:330-339).
+
+TPU-native: jit train step with donated (params, opt_state); the full eval
+uses the scan+KV-cache rollout engine.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from sea_tpu.configs.base import CaseConfig, TemporalModelConfig
+from sea_tpu.data.datasets import (TemporalWindows, apply_sea_layout,
+                                   batch_iterator, make_temporal_windows,
+                                   split_indices)
+from sea_tpu.data.io import load_case_data
+from sea_tpu.data.latents import (LatentService,
+                                  transform_latents_to_temporal)
+from sea_tpu.data.mesh import MeshProcessor
+from sea_tpu.models.temporal import init_temporal, temporal_forward
+from sea_tpu.train import metrics as M
+from sea_tpu.train.evaluate import full_autoregressive_evaluation
+from sea_tpu.train.optim import make_optimizer
+from sea_tpu.train.tracking import BaseErrorTracker, NoOpErrorTracker
+from sea_tpu.utils.checkpoint import (checkpoint_path, load_params,
+                                      save_checkpoint)
+
+
+@dataclasses.dataclass
+class TemporalData:
+    train: TemporalWindows
+    val: TemporalWindows
+    test: TemporalWindows
+    mesh_processor: MeshProcessor
+    latent_service: LatentService
+
+
+def process_data(case: CaseConfig, *, data=None,
+                 spatial_params=None) -> TemporalData:
+    """Load + split at trajectory level, patchify, run the frozen stage-1
+    encoder, window. ``spatial_params`` must be provided (or loadable from
+    the encoder_decoder checkpoint saved by train_spatial)."""
+    if data is None:
+        fields, coords, ib = load_case_data(case.run.field_data_path,
+                                            case.run.coordinates_path,
+                                            case.run.input_path)
+    else:
+        fields, coords, ib = data
+    if ib is None:
+        raise ValueError("temporal training requires input/boundary data")
+    tr, T, N, F = fields.shape
+
+    train_idx, val_idx, test_idx = split_indices(
+        tr, case.temporal_split.train_fraction,
+        case.temporal_split.val_fraction, case.temporal_split.random_seed)
+
+    mp = MeshProcessor(case.mesh, case.spatial.field_groups, coords,
+                       save_dir=case.run.save_dir)
+    _, patched = mp.patchify_and_scale(
+        fields.reshape(tr * T, N, F), fit_scalers=True,
+        perform_initial_test=case.run.perform_initial_test)
+    tokens = apply_sea_layout(patched, case.run.sea_layout)  # [tr*T,P,F,C]
+
+    scfg = case.spatial.with_n_inp(mp.cells_per_patch)
+    if spatial_params is None:
+        from sea_tpu.models.spatial import init_spatial
+        template = init_spatial(jax.random.PRNGKey(0), scfg)
+        path = checkpoint_path(case.run.save_dir, "encoder_decoder",
+                               case.run.case_name, case.run.run_name)
+        spatial_params = load_params(path, template)
+    svc = LatentService(scfg, spatial_params,
+                        batch_size=case.run.spatial_batch_size)
+
+    latents = svc.encode_dataset(tokens)  # [tr*T, P, G, D]
+    temporal_tokens = transform_latents_to_temporal(
+        latents, tr, T, mp.num_patches, scfg.num_groups)  # [tr,T,G,P*D]
+
+    tcfg = case.temporal_train
+
+    def windows(idx):
+        return make_temporal_windows(temporal_tokens[idx], fields[idx],
+                                     ib[idx], tcfg.dataset_src_len,
+                                     tcfg.dataset_overlap)
+
+    return TemporalData(train=windows(train_idx), val=windows(val_idx),
+                        test=windows(test_idx), mesh_processor=mp,
+                        latent_service=svc)
+
+
+def make_train_step(cfg: TemporalModelConfig, tx):
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def step(params, opt_state, src, tgt, ib, rng):
+        def loss_fn(p):
+            out = temporal_forward(p, cfg, src, ib, rng=rng,
+                                   deterministic=False)
+            return M.mse(out, tgt)
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+    return step
+
+
+def make_eval_step(cfg: TemporalModelConfig):
+    @jax.jit
+    def step(params, src, tgt, ib):
+        out = temporal_forward(params, cfg, src, ib)
+        return M.mse(out, tgt)
+    return step
+
+
+def train(case: CaseConfig,
+          error_tracker: Optional[BaseErrorTracker] = None, *,
+          data=None, spatial_params=None, seed: int = 0,
+          epochs: Optional[int] = None,
+          init_params=None, save_artifacts: bool = True
+          ) -> Tuple[Any, TemporalData]:
+    tracker = error_tracker or NoOpErrorTracker()
+    tcfg = case.temporal_train
+    td = process_data(case, data=data, spatial_params=spatial_params)
+    cfg = case.temporal
+
+    rng = jax.random.PRNGKey(seed)
+    rng, init_key = jax.random.split(rng)
+    params = init_params if init_params is not None \
+        else init_temporal(init_key, cfg)
+    tx = make_optimizer(tcfg)
+    opt_state = tx.init(params)
+    train_step = make_train_step(cfg, tx)
+    eval_step = make_eval_step(cfg)
+
+    n_epochs = epochs if epochs is not None else tcfg.epoch_num
+    best_val = float("inf")
+    best_rollout = float("inf")
+    best_params = params
+    start = time.time()
+
+    for epoch in range(1, n_epochs + 1):
+        train_loss, nb = 0.0, 0
+        for src, tgt, _, ib in batch_iterator(
+                [td.train.src, td.train.tgt, td.train.tgt_original,
+                 td.train.ib], tcfg.batch_size, shuffle=True,
+                seed=case.temporal_split.random_seed, epoch=epoch,
+                drop_remainder=True):
+            rng, step_key = jax.random.split(rng)
+            params, opt_state, loss = train_step(
+                params, opt_state, jnp.asarray(src), jnp.asarray(tgt),
+                jnp.asarray(ib), step_key)
+            train_loss += float(loss)
+            nb += 1
+        if nb == 0:
+            raise ValueError("train split smaller than one batch")
+        train_loss /= nb
+        tracker.record_error("train", epoch, {"Loss": train_loss})
+
+        if epoch % tcfg.validation_interval == 0 or epoch == n_epochs:
+            val_loss, vb = 0.0, 0
+            for src, tgt, _, ib in batch_iterator(
+                    [td.val.src, td.val.tgt, td.val.tgt_original, td.val.ib],
+                    tcfg.eval_batch_size, shuffle=False):
+                val_loss += float(eval_step(params, jnp.asarray(src),
+                                            jnp.asarray(tgt),
+                                            jnp.asarray(ib)))
+                vb += 1
+            val_loss /= max(vb, 1)
+            val_metrics = {"Loss": val_loss}
+
+            # Full autoregressive eval cadence (train_temporal.py:295-320).
+            if epoch % tcfg.full_eval_interval == 0:
+                results = full_autoregressive_evaluation(
+                    params, case, td.val, td.latent_service,
+                    td.mesh_processor, epoch=epoch,
+                    save_artifacts=save_artifacts)
+                val_metrics["Full_Encoded_Rel_MSE"] = \
+                    results["encoded_rel_mse"]
+                val_metrics["Full_Decoded_Rel_MSE"] = \
+                    results["decoded_rel_mse"]
+                if results["decoded_rel_mse"] < best_rollout:
+                    best_rollout = results["decoded_rel_mse"]
+                    save_checkpoint(case.run.save_dir, "temporal_Checkpoint",
+                                    case.run.case_name, case.run.run_name,
+                                    jax.tree.map(np.asarray, params),
+                                    meta={"epoch": epoch,
+                                          "decoded_rel_mse": best_rollout})
+                    print("--- Checkpoint Model Saved ---")
+
+            tracker.record_error("val", epoch, val_metrics)
+            print(f"Epoch {epoch}/{n_epochs} train Loss {train_loss:.8f} | "
+                  f"val Loss {val_loss:.8f}")
+
+            if val_loss < best_val:
+                best_val = val_loss
+                best_params = jax.tree.map(np.asarray, params)
+                save_checkpoint(case.run.save_dir, "temporal",
+                                case.run.case_name, case.run.run_name,
+                                best_params,
+                                meta={"epoch": epoch, "val_loss": best_val})
+                print("--- New Best Model Saved ---")
+
+    print(f"Total training time: {time.time() - start:.2f} seconds")
+    tracker.finish()
+    return best_params, td

@@ -93,7 +93,7 @@ def _mlp(sd: StateDict, prefix: str, num_layers=None):
     idx = 0
     if n == 1:
         layers.append({"lin": _lin(sd, f"{prefix}.layers.0"),
-                       "ln": _ln(sd, f"{prefix}.layers.1"), "act": True})
+                       "ln": _ln(sd, f"{prefix}.layers.1")})
         layers.append({"lin": _lin(sd, f"{prefix}.layers.3")})
         return {"layers": layers}
     for i in range(n):
@@ -101,9 +101,7 @@ def _mlp(sd: StateDict, prefix: str, num_layers=None):
         idx += 1
         if i != n - 1:
             entry["ln"] = _ln(sd, f"{prefix}.layers.{idx}")
-            idx += 1
-            entry["act"] = True
-            idx += 1  # GELU (no params)
+            idx += 2  # skip GELU (no params)
         layers.append(entry)
     return {"layers": layers}
 

@@ -1,0 +1,131 @@
+"""Rollout engine equivalence proofs.
+
+The scan+KV-cache engine must be numerically identical (f32, ~1e-4) to:
+1. our own prefix-recompute oracle (same code path as the full forward), and
+2. the PyTorch reference's rollout loop (train_utils.py:202-207) run on the
+   reference model with the same converted weights.
+"""
+
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sea_tpu.configs.base import TemporalModelConfig
+from sea_tpu.models.temporal import init_temporal, temporal_forward
+from sea_tpu.rollout.engine import (rollout, rollout_prefix_recompute,
+                                    rollout_scan)
+
+REFERENCE = "/root/reference"
+
+
+def _cfg(**kw):
+    base = dict(num_layers=2, embed_dim=24, n_heads=2, block_size=64,
+                scale_ratio=2, src_len=0, num_fields=2, down_proj=2,
+                dropout=0.0, exchange_mode="sea", ib_scale_mode="mlp",
+                ib_addition_mode="add", ib_mlp_layers=1, ib_num=1,
+                add_info_after_cross=True, ln_type="adaln")
+    base.update(kw)
+    return TemporalModelConfig(**base)
+
+
+VARIANTS = [
+    {},
+    dict(ln_type="ln", ib_scale_mode="fourier", add_info_after_cross=False),
+    dict(exchange_mode="addition", ib_scale_mode="linear",
+         ib_addition_mode="none"),
+    dict(exchange_mode="simple", num_fields=3),
+    dict(src_len=0, num_fields=3),  # G=3 exercises the 6-pair SEA lattice
+]
+
+
+@pytest.mark.parametrize("variant", VARIANTS)
+def test_scan_equals_prefix_recompute(variant):
+    cfg = _cfg(**variant)
+    params = init_temporal(jax.random.PRNGKey(0), cfg)
+    B, T = 2, 9
+    key = jax.random.PRNGKey(1)
+    x0 = jax.random.normal(key, (B, cfg.num_fields, cfg.embed_dim))
+    ib = jax.random.normal(jax.random.fold_in(key, 1), (B, T, cfg.ib_num))
+
+    ref = rollout_prefix_recompute(params, cfg, x0, ib)
+    got = rollout_scan(params, cfg, x0, ib)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4,
+                               err_msg=str(variant))
+
+
+def test_single_step_matches_forward():
+    """temporal_step at t must reproduce temporal_forward(x[:, :t+1])[:, t]."""
+    from sea_tpu.models.temporal import init_temporal_cache, temporal_step
+    cfg = _cfg()
+    params = init_temporal(jax.random.PRNGKey(2), cfg)
+    B, T = 2, 6
+    x = jax.random.normal(jax.random.PRNGKey(3),
+                          (B, T, cfg.num_fields, cfg.embed_dim))
+    ib = jax.random.normal(jax.random.PRNGKey(4), (B, T, cfg.ib_num))
+    full = temporal_forward(params, cfg, x, ib)
+
+    cache = init_temporal_cache(cfg, B, T)
+    for t in range(T):
+        y, cache = temporal_step(params, cfg, x[:, t], ib[:, t], cache,
+                                 jnp.int32(t))
+        np.testing.assert_allclose(np.asarray(y), np.asarray(full[:, t]),
+                                   atol=2e-4, err_msg=f"t={t}")
+
+
+@pytest.mark.skipif(not os.path.isdir(REFERENCE),
+                    reason="reference tree not available")
+def test_rollout_matches_torch_reference():
+    """Scan rollout == the reference's full_autoregressive_evaluation inner
+    loop (train_utils.py:202-207) with converted weights."""
+    if REFERENCE not in sys.path:
+        sys.path.insert(0, REFERENCE)
+    torch = pytest.importorskip("torch")
+    from models.temporal import TemporalModel
+    from sea_tpu.utils.torch_compat import (state_dict_to_numpy,
+                                            temporal_params_from_torch)
+
+    cfg = _cfg()
+    torch.manual_seed(11)
+    ref_model = TemporalModel(
+        num_layers=cfg.num_layers, embed_dim=cfg.embed_dim,
+        n_heads=cfg.n_heads, max_len=cfg.block_size,
+        scale_ratio=cfg.scale_ratio, src_len=cfg.src_len,
+        num_variables=cfg.num_fields, down_proj=cfg.down_proj, dropout=0.0,
+        exchange_mode=cfg.exchange_mode, pos_encoding_mode="learnable",
+        ib_scale_mode=cfg.ib_scale_mode,
+        ib_addition_mode=cfg.ib_addition_mode,
+        ib_mlp_layers=cfg.ib_mlp_layers, ib_num=cfg.ib_num,
+        add_info_after_cross=cfg.add_info_after_cross,
+        LN_type=cfg.ln_type).eval()
+
+    B, T = 2, 8
+    data = torch.randn(B, T + 1, cfg.num_fields, cfg.embed_dim)
+    ib = torch.randn(B, T, cfg.ib_num)
+
+    # Reference prefix-recompute loop.
+    with torch.no_grad():
+        autoreg = data[:, 0:1]
+        for i in range(T):
+            out = ref_model(autoreg, ib[:, : i + 1])
+            autoreg = torch.cat((autoreg, out[:, -1:]), dim=1)
+        ref = autoreg[:, 1:].numpy()
+
+    params = temporal_params_from_torch(
+        state_dict_to_numpy(ref_model.state_dict()), cfg)
+    got = rollout_scan(params, cfg, jnp.asarray(data[:, 0].numpy()),
+                       jnp.asarray(ib.numpy()))
+    np.testing.assert_allclose(np.asarray(got), ref, atol=5e-4)
+
+
+def test_rollout_dispatch_jit_compiles():
+    cfg = _cfg()
+    params = init_temporal(jax.random.PRNGKey(5), cfg)
+    x0 = jnp.zeros((1, cfg.num_fields, cfg.embed_dim))
+    ib = jnp.zeros((1, 5, cfg.ib_num))
+    out = rollout(params, cfg, x0, ib)
+    assert out.shape == (1, 5, cfg.num_fields, cfg.embed_dim)
+    assert bool(jnp.isfinite(out).all())

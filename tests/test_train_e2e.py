@@ -1,0 +1,102 @@
+"""End-to-end two-stage training on tiny synthetic data.
+
+The minimum end-to-end slice of SURVEY §7: synthetic cylinder-like data ->
+partition -> train stage-1 AE a few epochs -> encode latents -> train
+stage-2 SEA temporal model -> scan rollout eval -> decoded rel-MSE +
+artifacts. Exercises every layer except multi-chip.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from sea_tpu.configs.base import (CaseConfig, MeshConfig, RunConfig,
+                                  SpatialModelConfig, SplitConfig,
+                                  TemporalModelConfig, TrainConfig)
+from sea_tpu.data.synthetic import cylinder_like
+
+
+def tiny_case(tmp_path) -> CaseConfig:
+    mesh = MeshConfig(m=3, n=3)  # P = 4
+    spatial = SpatialModelConfig(field_groups=((0, 1), (2,)), mlp_hidden=16,
+                                 num_layers=1, embed_dim=4, n_heads=2,
+                                 block_size=64, dropout=0.0)
+    temporal = TemporalModelConfig(num_layers=1, embed_dim=16, n_heads=2,
+                                   block_size=64, scale_ratio=2,
+                                   num_fields=2, down_proj=2, dropout=0.0,
+                                   exchange_mode="sea", ib_scale_mode="mlp",
+                                   ib_addition_mode="add", ln_type="adaln")
+    return CaseConfig(
+        mesh=mesh, spatial=spatial, temporal=temporal,
+        spatial_split=SplitConfig(train_fraction=0.7, val_fraction=0.2),
+        temporal_split=SplitConfig(train_fraction=0.5, val_fraction=0.25),
+        spatial_train=TrainConfig(batch_size=8, epoch_num=2,
+                                  validation_interval=1),
+        temporal_train=TrainConfig(batch_size=2, eval_batch_size=2,
+                                   epoch_num=2, validation_interval=1,
+                                   full_eval_interval=2, dataset_src_len=7),
+        run=RunConfig(save_dir=str(tmp_path), perform_initial_test=True))
+
+
+@pytest.fixture(scope="module")
+def synth():
+    return cylinder_like(tr=4, T=8, n_nodes=120, seed=3)
+
+
+def test_two_stage_training_e2e(tmp_path, synth):
+    from sea_tpu.train.train_spatial import train as train_spatial
+    from sea_tpu.train.train_temporal import train as train_temporal
+    from sea_tpu.train.tracking import CSVErrorTracker
+
+    case = tiny_case(tmp_path)
+    tracker = CSVErrorTracker(str(tmp_path), "e2e")
+    sparams, sdata = train_spatial(case, tracker, data=synth)
+    assert os.path.exists(
+        os.path.join(tmp_path, "encoder_decoder_cylinder_flow_run1.npz"))
+
+    tparams, tdata = train_temporal(case, data=synth,
+                                    spatial_params=sparams)
+    assert os.path.exists(
+        os.path.join(tmp_path, "temporal_cylinder_flow_run1.npz"))
+    # Full-eval artifacts: rollout CSV + error plot + checkpoint.
+    assert os.path.exists(
+        os.path.join(tmp_path, "rollout_error_cylinder_flow_run1.csv"))
+    assert os.path.exists(
+        os.path.join(tmp_path, "temporal_Checkpoint_cylinder_flow_run1.npz"))
+
+    # Metrics CSV recorded both phases.
+    rows = open(os.path.join(tmp_path, "e2e_metrics.csv")).read()
+    assert "train" in rows and "val" in rows
+
+
+def test_spatial_eval_flow(tmp_path, synth):
+    from sea_tpu.train.train_spatial import train as train_spatial
+    from sea_tpu.train.evaluate import test_encoder_decoder
+
+    case = tiny_case(tmp_path)
+    sparams, sdata = train_spatial(case, data=synth, epochs=1)
+    results = test_encoder_decoder(sparams, case, sdata.test,
+                                   sdata.mesh_processor,
+                                   spatial_cfg=sdata.spatial_cfg,
+                                   save_artifacts=True)
+    for key in ("mse_patched", "mse_unpatched", "relative_mse"):
+        assert np.isfinite(results[key]), key
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    import jax
+    from sea_tpu.models.temporal import init_temporal
+    from sea_tpu.utils.checkpoint import restore_pytree, save_pytree
+
+    cfg = TemporalModelConfig(num_layers=1, embed_dim=16, n_heads=2,
+                              num_fields=2, scale_ratio=2)
+    params = init_temporal(jax.random.PRNGKey(0), cfg)
+    path = str(tmp_path / "ckpt.npz")
+    save_pytree(path, {"params": params})
+    restored = restore_pytree(path, {"params": params})
+    flat_a = jax.tree.leaves(params)
+    flat_b = jax.tree.leaves(restored["params"])
+    assert len(flat_a) == len(flat_b)
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
