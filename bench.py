@@ -1,0 +1,86 @@
+"""Headline benchmark: north-star 250-step multiphase autoregressive rollout.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+- value: rollout steps/sec/chip of the scan+KV-cache engine on the default
+  JAX device (the driver runs this on a real TPU chip).
+- vs_baseline: value / (reference steps/sec from BASELINE_MEASURED.json,
+  the PyTorch reference's prefix-recompute rollout measured on this
+  machine's CPU — the reference targets CUDA, unavailable here; see
+  BASELINE.md). North-star target is >=10x.
+
+Model: multiphase-flow temporal SEA at full size (E=2048, 1 layer, 8 heads,
+down_dim=1024, plain LN), batch 1, 250 steps — matching the reference
+measurement protocol in tools/measure_reference.py.
+"""
+
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+STEPS = 250
+BATCH = 1
+REPEATS = 5
+
+
+def main():
+    from sea_tpu.configs.base import TemporalModelConfig
+    from sea_tpu.models.temporal import init_temporal
+    from sea_tpu.rollout.engine import rollout_scan
+
+    cfg = TemporalModelConfig(
+        num_layers=1, embed_dim=2048, n_heads=8, block_size=2024,
+        scale_ratio=8, src_len=0, num_fields=2, down_proj=2, dropout=0.0,
+        exchange_mode="sea", ib_scale_mode="mlp", ib_addition_mode="add",
+        ib_mlp_layers=1, ib_num=1, add_info_after_cross=True, ln_type="ln")
+
+    params = init_temporal(jax.random.PRNGKey(0), cfg)
+    key = jax.random.PRNGKey(1)
+    # Distinct inputs per repeat: the tunneled TPU backend caches identical
+    # dispatches, which would make repeated identical calls measure ~0.
+    x0s = [jax.random.normal(jax.random.fold_in(key, i),
+                             (BATCH, cfg.num_fields, cfg.embed_dim))
+           for i in range(REPEATS + 1)]
+    ibs = [jax.random.normal(jax.random.fold_in(key, 100 + i),
+                             (BATCH, STEPS, cfg.ib_num))
+           for i in range(REPEATS + 1)]
+
+    run = jax.jit(lambda p, x, i: rollout_scan(p, cfg, x, i))
+    # Warmup / compile.
+    out = run(params, x0s[-1], ibs[-1])
+    out.block_until_ready()
+    assert bool(jnp.isfinite(out).all()), "rollout produced non-finite values"
+
+    t0 = time.perf_counter()
+    for i in range(REPEATS):
+        run(params, x0s[i], ibs[i]).block_until_ready()
+    elapsed = time.perf_counter() - t0
+    steps_per_sec = STEPS * REPEATS / elapsed
+
+    baseline_path = os.path.join(REPO, "BASELINE_MEASURED.json")
+    vs_baseline = None
+    if os.path.exists(baseline_path):
+        with open(baseline_path) as fh:
+            baseline = json.load(fh)
+        ref = baseline.get("multiphase_250step_steps_per_sec")
+        if ref:
+            vs_baseline = steps_per_sec / ref
+
+    print(json.dumps({
+        "metric": "multiphase_250step_rollout_steps_per_sec",
+        "value": round(steps_per_sec, 3),
+        "unit": "steps/sec/chip",
+        "vs_baseline": round(vs_baseline, 3) if vs_baseline else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,115 @@
+"""Device mesh construction and sharding helpers.
+
+The reference has no distributed execution at all (SURVEY §2.10). This module
+provides the TPU-native parallelism layer the north star demands:
+
+- ``make_mesh``: a jax.sharding.Mesh over ('data', 'model') axes. Batch /
+  trajectory dims shard over 'data' (pure DP, gradient all-reduce over ICI);
+  attention-head and MLP-hidden dims optionally shard over 'model'
+  (Megatron-style TP) — XLA/GSPMD inserts the collectives.
+- ``shard_batch`` / ``replicate``: NamedSharding placement helpers.
+- ``temporal_param_shardings`` / ``spatial_param_shardings``: TP partition
+  specs for the model weights (heads=8 divides cleanly across model axis).
+
+Multi-host: call jax.distributed.initialize() before make_mesh; the mesh
+then spans all processes' devices (DCN between slices, ICI within).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
+              devices: Optional[Sequence] = None) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    total = len(devices)
+    if n_data is None:
+        n_data = total // n_model
+    assert n_data * n_model <= total, (n_data, n_model, total)
+    arr = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
+    return Mesh(arr, axis_names=("data", "model"))
+
+
+def shard_batch(mesh: Mesh, x, *, axis: int = 0):
+    """Place an array with its leading (batch) axis sharded over 'data'."""
+    spec = [None] * x.ndim
+    spec[axis] = "data"
+    return jax.device_put(x, NamedSharding(mesh, P(*spec)))
+
+
+def replicate(mesh: Mesh, tree):
+    sharding = NamedSharding(mesh, P())
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def batch_spec(ndim: int, axis: int = 0) -> P:
+    spec = [None] * ndim
+    spec[axis] = "data"
+    return P(*spec)
+
+
+# ---------------------------------------------------------------------------
+# Tensor-parallel partition specs
+# ---------------------------------------------------------------------------
+
+def _tp_attention_spec(p):
+    """q/k/v project [D, D=H*hd]: shard the head (output) dim; the output
+    projection [D, D] shards its input dim — the contraction then needs one
+    all-reduce, which GSPMD inserts (Megatron pattern)."""
+    spec = {
+        "q": {"w": P(None, "model"), "b": P("model")},
+        "k": {"w": P(None, "model"), "b": P("model")},
+        "v": {"w": P(None, "model"), "b": P("model")},
+        "proj": {"w": P("model", None)},
+    }
+    return spec
+
+
+def _tp_mlp_spec(mlp_params):
+    """Reference MLP has LayerNorms between hidden layers, which need the
+    full hidden vector — so hidden-dim TP would force a regather at each LN.
+    Keep MLPs replicated (the LN placement is a reference architecture quirk
+    that limits TP here); attention TP is still worthwhile."""
+    return jax.tree.map(lambda _: P(), mlp_params)
+
+
+def temporal_param_shardings(mesh: Mesh, params):
+    """PartitionSpec pytree for temporal model params: attention q/k/v/proj
+    sharded over 'model', everything else replicated."""
+    def map_block(block):
+        spec = jax.tree.map(lambda _: P(), block)
+        for key in ("self_attn", "cross_attn_ib"):
+            if key in block:
+                spec[key] = [_tp_attention_spec(p) for p in block[key]]
+        if "cross_attn" in block:
+            ca = block["cross_attn"]
+            if ca and isinstance(ca[0], list):  # sea: [G][G]
+                spec["cross_attn"] = [
+                    [None if p is None else _tp_attention_spec(p)
+                     for p in row] for row in ca]
+            else:  # pool: [G]
+                spec["cross_attn"] = [_tp_attention_spec(p) for p in ca]
+        return spec
+
+    spec = {
+        "blocks": [map_block(b) for b in params["blocks"]],
+        "ln_final": jax.tree.map(lambda _: P(), params["ln_final"]),
+    }
+    return jax.tree.map(lambda s: NamedSharding(mesh, s), spec,
+                        is_leaf=lambda x: isinstance(x, P))
+
+
+def spatial_param_shardings(mesh: Mesh, params):
+    def map_block(block):
+        spec = jax.tree.map(lambda _: P(), block)
+        spec["attn"] = _tp_attention_spec(block["attn"])
+        return spec
+    spec = jax.tree.map(lambda _: P(), params)
+    spec["blocks"] = [map_block(b) for b in params["blocks"]]
+    return jax.tree.map(lambda s: NamedSharding(mesh, s), spec,
+                        is_leaf=lambda x: isinstance(x, P))

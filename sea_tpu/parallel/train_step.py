@@ -1,0 +1,104 @@
+"""Sharded (multi-chip) training and rollout steps.
+
+Data-parallel + tensor-parallel SPMD over a jax.sharding.Mesh:
+- batch/window axes sharded over 'data' (gradient all-reduce over ICI,
+  inserted by GSPMD under jit),
+- attention weights optionally sharded over 'model' (parallel/mesh.py).
+
+Style: "computation follows data" — parameters and optimizer state are
+placed once with explicit NamedShardings (optimizer moments inherit the
+param shardings through a jitted tx.init), batches are placed with the
+'data' spec, and the jitted step propagates shardings; GSPMD inserts the
+psum/all-gather collectives. The reference has no distributed execution at
+all (SURVEY §2.10) — this is the TPU-native scaling path, not a port.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from sea_tpu.configs.base import SpatialModelConfig, TemporalModelConfig
+from sea_tpu.models.spatial import spatial_forward
+from sea_tpu.models.temporal import temporal_forward
+from sea_tpu.parallel.mesh import (batch_spec, shard_batch,
+                                   spatial_param_shardings,
+                                   temporal_param_shardings)
+from sea_tpu.rollout.engine import rollout_scan
+from sea_tpu.train import metrics as M
+
+
+def _place_state(mesh, params, pspec, tx):
+    """Place params per the TP spec and build optimizer state *under jit*
+    with unspecified out_shardings so moments inherit the param shardings."""
+    placed_params = jax.device_put(params, pspec)
+    placed_opt = jax.jit(tx.init)(placed_params)
+    return placed_params, placed_opt
+
+
+def make_sharded_temporal_train_step(mesh: Mesh, cfg: TemporalModelConfig,
+                                     tx, params):
+    pspec = temporal_param_shardings(mesh, params)
+    placed_params, placed_opt = _place_state(mesh, params, pspec, tx)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def step(params, opt_state, src, tgt, ib, rng):
+        def loss_fn(p):
+            out = temporal_forward(p, cfg, src, ib, rng=rng,
+                                   deterministic=False)
+            return M.mse(out, tgt)
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    def place_batch(src, tgt, ib):
+        return (shard_batch(mesh, jnp.asarray(src)),
+                shard_batch(mesh, jnp.asarray(tgt)),
+                shard_batch(mesh, jnp.asarray(ib)))
+
+    return step, placed_params, placed_opt, place_batch
+
+
+def make_sharded_spatial_train_step(mesh: Mesh, cfg: SpatialModelConfig,
+                                    tx, params):
+    pspec = spatial_param_shardings(mesh, params)
+    placed_params, placed_opt = _place_state(mesh, params, pspec, tx)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def step(params, opt_state, batch, rng):
+        def loss_fn(p):
+            recon = spatial_forward(p, cfg, batch, rng=rng,
+                                    deterministic=False)
+            return M.mse(recon, batch)
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    def place_batch(batch):
+        return shard_batch(mesh, jnp.asarray(batch))
+
+    return step, placed_params, placed_opt, place_batch
+
+
+def make_sharded_rollout(mesh: Mesh, cfg: TemporalModelConfig, params):
+    """Rollout with trajectories sharded over 'data' — each chip rolls out
+    its shard of trajectories; eval scales linearly over the mesh."""
+    pspec = temporal_param_shardings(mesh, params)
+    placed_params = jax.device_put(params, pspec)
+
+    @jax.jit
+    def run(params, x0, ib):
+        return rollout_scan(params, cfg, x0, ib)
+
+    def place_batch(x0, ib):
+        return (shard_batch(mesh, jnp.asarray(x0)),
+                shard_batch(mesh, jnp.asarray(ib)))
+
+    return run, placed_params, place_batch

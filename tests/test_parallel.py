@@ -1,0 +1,99 @@
+"""Multi-device sharding tests on the virtual 8-CPU mesh.
+
+The TPU-world substitute for multi-node testing: 8 host devices via
+xla_force_host_platform_device_count (conftest). Verifies that
+- DP+TP sharded train steps compile, run, and reduce losses identically to
+  the single-device step (same params, same batch),
+- sharded rollout matches single-device rollout,
+- gradients are correctly all-reduced (loss identical across shardings).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sea_tpu.configs.base import SpatialModelConfig, TemporalModelConfig
+from sea_tpu.models.spatial import init_spatial
+from sea_tpu.models.temporal import init_temporal
+from sea_tpu.parallel.mesh import make_mesh
+from sea_tpu.parallel.train_step import (make_sharded_rollout,
+                                         make_sharded_spatial_train_step,
+                                         make_sharded_temporal_train_step)
+from sea_tpu.rollout.engine import rollout_scan
+from sea_tpu.train.optim import make_optimizer
+from sea_tpu.configs.base import TrainConfig
+
+
+requires_8 = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs 8 virtual devices")
+
+
+def _tcfg():
+    return TemporalModelConfig(num_layers=1, embed_dim=32, n_heads=2,
+                               block_size=64, scale_ratio=2, num_fields=2,
+                               down_proj=2, dropout=0.0, exchange_mode="sea",
+                               ib_scale_mode="mlp", ib_addition_mode="add",
+                               ln_type="adaln")
+
+
+@requires_8
+def test_temporal_dp_tp_step_matches_single_device():
+    cfg = _tcfg()
+    params = init_temporal(jax.random.PRNGKey(0), cfg)
+    tx = make_optimizer(TrainConfig(learning_rate=1e-3))
+    B, T = 8, 6
+    key = jax.random.PRNGKey(1)
+    src = jax.random.normal(key, (B, T, cfg.num_fields, cfg.embed_dim))
+    tgt = jax.random.normal(jax.random.fold_in(key, 1), src.shape)
+    ib = jax.random.normal(jax.random.fold_in(key, 2), (B, T, cfg.ib_num))
+    rng = jax.random.PRNGKey(3)
+
+    # Single-device baseline.
+    from sea_tpu.train.train_temporal import make_train_step
+    step1 = make_train_step(cfg, tx)
+    p1, o1, loss1 = step1(jax.tree.map(jnp.copy, params), tx.init(params),
+                          src, tgt, ib, rng)
+
+    # 4-way data x 2-way model mesh.
+    mesh = make_mesh(n_data=4, n_model=2)
+    step8, pp, po, place = make_sharded_temporal_train_step(mesh, cfg, tx,
+                                                            params)
+    s_src, s_tgt, s_ib = place(src, tgt, ib)
+    p8, o8, loss8 = step8(pp, po, s_src, s_tgt, s_ib, rng)
+
+    # Dropout=0 and identical data -> identical loss and updated params.
+    np.testing.assert_allclose(float(loss8), float(loss1), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p8)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+@requires_8
+def test_spatial_dp_step_runs():
+    cfg = SpatialModelConfig(field_groups=((0, 1), (2,)), mlp_hidden=16,
+                             num_layers=1, embed_dim=4, n_heads=2,
+                             block_size=64, dropout=0.0, n_inp=9)
+    params = init_spatial(jax.random.PRNGKey(0), cfg)
+    tx = make_optimizer(TrainConfig(learning_rate=1e-3))
+    mesh = make_mesh(n_data=8, n_model=1)
+    step, pp, po, place = make_sharded_spatial_train_step(mesh, cfg, tx,
+                                                          params)
+    batch = jax.random.normal(jax.random.PRNGKey(1), (16, 4, 3, 9))
+    p, o, loss = step(pp, po, place(batch), jax.random.PRNGKey(2))
+    assert np.isfinite(float(loss))
+
+
+@requires_8
+def test_sharded_rollout_matches_single_device():
+    cfg = _tcfg()
+    params = init_temporal(jax.random.PRNGKey(4), cfg)
+    B, T = 8, 5
+    x0 = jax.random.normal(jax.random.PRNGKey(5),
+                           (B, cfg.num_fields, cfg.embed_dim))
+    ib = jax.random.normal(jax.random.PRNGKey(6), (B, T, cfg.ib_num))
+
+    ref = rollout_scan(params, cfg, x0, ib)
+    mesh = make_mesh(n_data=4, n_model=2)
+    run, pp, place = make_sharded_rollout(mesh, cfg, params)
+    got = run(pp, *place(x0, ib))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
