@@ -1,0 +1,223 @@
+"""Pallas TPU flash attention (forward) with offset-causal masking.
+
+Replaces the [B, H, T, T] score materialization of the XLA path
+(ops/attention.py attention_core) for long temporal sequences: the reference
+materializes full attention matrices with preallocated [2024, 2024] masks
+(base_blocks.py:173,191-197); here scores never leave VMEM — an online-
+softmax (flash-attention-2 style) accumulation over key blocks.
+
+Semantics exactly match attention_core:
+  scores = q @ k^T * hd^-0.5, masked to k_pos <= q_pos + src_len when
+  causal, f32 softmax, @ v.
+
+Layout: q, k, v are [B, T, H, hd] (the framework's pre-head-transpose
+layout). The kernel grids over (B*H, q_blocks, k_blocks) with the k-block
+axis innermost, carrying running max / sum / accumulator in VMEM scratch.
+Fully-masked k blocks are skipped with pl.when (no compute, though the
+block DMA still runs — acceptable at T<=2024).
+
+Backward: flash_attention is wrapped in jax.custom_vjp whose backward
+recomputes attention with the XLA path and differentiates it — O(T^2)
+memory only inside the backward of long-sequence *training* steps, while
+the forward (and all inference/eval) stays O(T). A fused Pallas backward
+is the planned follow-up.
+
+Numerical check: tests/test_flash_attention.py (interpret mode on CPU
+against attention_core; real-mode smoke on TPU via bench paths).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# Block 256 measured fastest on v5e at T=2048 (1.15 ms vs 1.84 ms XLA,
+# 1.67 ms at block 128) — see commit message / BASELINE.md notes.
+DEFAULT_BLOCK_Q = 256
+DEFAULT_BLOCK_K = 256
+NEG_INF = -1e30  # large finite negative: avoids NaN from (-inf) - (-inf)
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, m_scratch, l_scratch,
+                acc_scratch, *, scale: float, causal: bool, src_len: int,
+                t_actual: int, block_q: int, block_k: int):
+    qi = pl.program_id(1)
+    kj = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(kj == 0)
+    def _init():
+        m_scratch[:] = jnp.full_like(m_scratch, NEG_INF)
+        l_scratch[:] = jnp.zeros_like(l_scratch)
+        acc_scratch[:] = jnp.zeros_like(acc_scratch)
+
+    q_start = qi * block_q
+    k_start = kj * block_k
+
+    # Skip key blocks entirely above the (offset) diagonal.
+    needed = (not causal) or True
+    if causal:
+        block_needed = k_start <= q_start + block_q - 1 + src_len
+    else:
+        block_needed = True
+
+    @pl.when(block_needed if causal else True)
+    def _compute():
+        q = q_ref[0]  # [block_q, hd]
+        k = k_ref[0]  # [block_k, hd]
+        v = v_ref[0]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale  # [bq, bk]
+
+        q_pos = q_start + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 0)
+        k_pos = k_start + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 1)
+        mask = k_pos < t_actual
+        if causal:
+            mask = jnp.logical_and(mask, k_pos <= q_pos + src_len)
+        s = jnp.where(mask, s, NEG_INF)
+
+        m_prev = m_scratch[:]  # [bq, 1]
+        m_cur = jnp.max(s, axis=1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new)  # [bq, bk]
+        l_new = l_scratch[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
+        pv = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        acc_scratch[:] = acc_scratch[:] * alpha + pv
+        m_scratch[:] = m_new
+        l_scratch[:] = l_new
+
+    @pl.when(kj == nk - 1)
+    def _finalize():
+        # Rows that saw no valid key (can't happen for causal with
+        # src_len >= 0 and t_actual > 0, but guard against l == 0).
+        l = l_scratch[:]
+        l_safe = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0] = (acc_scratch[:] / l_safe).astype(o_ref.dtype)
+
+
+def _flash_forward(q, k, v, *, causal: bool, src_len: int,
+                   block_q: int, block_k: int, interpret: bool = False):
+    """q: [B, Tq, H, hd]; k, v: [B, Tk, H, hd] -> [B, Tq, H, hd]."""
+    B, Tq, H, hd = q.shape
+    Tk = k.shape[1]
+    scale = hd ** -0.5
+
+    # [B, T, H, hd] -> [B*H, T, hd]
+    def to_bh(x):
+        return x.transpose(0, 2, 1, 3).reshape(B * H, x.shape[1], hd)
+
+    qb, kb, vb = to_bh(q), to_bh(k), to_bh(v)
+
+    block_q = min(block_q, _round_up(Tq))
+    block_k = min(block_k, _round_up(Tk))
+    nq = pl.cdiv(Tq, block_q)
+    nk = pl.cdiv(Tk, block_k)
+
+    # Pad T to block multiples (static shapes for the grid).
+    pad_q = nq * block_q - Tq
+    pad_k = nk * block_k - Tk
+    if pad_q:
+        qb = jnp.pad(qb, ((0, 0), (0, pad_q), (0, 0)))
+    if pad_k:
+        kb = jnp.pad(kb, ((0, 0), (0, pad_k), (0, 0)))
+        vb = jnp.pad(vb, ((0, 0), (0, pad_k), (0, 0)))
+
+    kernel = functools.partial(
+        _fwd_kernel, scale=scale, causal=causal, src_len=src_len,
+        t_actual=Tk, block_q=block_q, block_k=block_k)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(B * H, nq, nk),
+        in_specs=[
+            pl.BlockSpec((1, block_q, hd), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, block_k, hd), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, block_k, hd), lambda b, i, j: (b, j, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, hd), lambda b, i, j: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((B * H, nq * block_q, hd), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, hd), jnp.float32),
+        ],
+        interpret=interpret,
+    )(qb, kb, vb)
+
+    out = out[:, :Tq]
+    return out.reshape(B, H, Tq, hd).transpose(0, 2, 1, 3)
+
+
+def _round_up(x, m=128):
+    return ((x + m - 1) // m) * m
+
+
+# ---------------------------------------------------------------------------
+# custom_vjp wrapper: pallas forward, XLA-recompute backward
+# ---------------------------------------------------------------------------
+
+def _xla_attention(q, k, v, *, causal: bool, src_len: int):
+    hd = q.shape[-1]
+    scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * (hd ** -0.5)
+    if causal:
+        Tq, Tk = q.shape[1], k.shape[1]
+        mask = (jnp.arange(Tk)[None, :]
+                <= jnp.arange(Tq)[:, None] + src_len)
+        scores = jnp.where(mask[None, None], scores, float("-inf"))
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v.dtype), v,
+                     preferred_element_type=jnp.float32)
+    return out.astype(q.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def flash_attention(q, k, v, causal: bool = True, src_len: int = 0,
+                    block_q: int = DEFAULT_BLOCK_Q,
+                    block_k: int = DEFAULT_BLOCK_K):
+    return _flash_forward(q, k, v, causal=causal, src_len=src_len,
+                          block_q=block_q, block_k=block_k)
+
+
+def _fwd(q, k, v, causal, src_len, block_q, block_k):
+    out = _flash_forward(q, k, v, causal=causal, src_len=src_len,
+                         block_q=block_q, block_k=block_k)
+    return out, (q, k, v)
+
+
+def _bwd(causal, src_len, block_q, block_k, res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(
+        lambda q, k, v: _xla_attention(q, k, v, causal=causal,
+                                       src_len=src_len), q, k, v)
+    return vjp(g)
+
+
+flash_attention.defvjp(_fwd, _bwd)
+
+
+def flash_supported(q, k, *, causal: bool, dropout_rate: float,
+                    deterministic: bool) -> bool:
+    """Auto-dispatch policy for ops.attention.mha: use the Pallas kernel on
+    TPU for long sequences without attention dropout. (Dropout on attention
+    probabilities — the reference trains with dropout=0.1 on temporal —
+    needs the probs materialized, so those train steps keep the XLA path;
+    eval/rollout is always deterministic.)"""
+    if jax.default_backend() not in ("tpu",):
+        return False
+    if dropout_rate > 0.0 and not deterministic:
+        return False
+    Tq, Tk = q.shape[1], k.shape[1]
+    return Tq >= 256 and Tk >= 256
