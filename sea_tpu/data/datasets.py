@@ -79,16 +79,22 @@ class TemporalWindows:
 
 
 def make_temporal_windows(latents: np.ndarray, originals: np.ndarray,
-                          ib: np.ndarray, src_len: int,
-                          overlap: int = 0) -> TemporalWindows:
+                          ib: np.ndarray, src_len: int, overlap: int = 0, *,
+                          time_shift_rng: Optional[np.random.RandomState]
+                          = None) -> TemporalWindows:
     """latents: [tr, T, G, E]; originals: [tr, T, N, F]; ib: [tr, T, ib_num].
 
     Window extraction mirrors TemporalDataset.__getitem__
-    (data_processors.py:412-452) without time-shifting: per trajectory,
-    num_windows = T // step windows at starts w*step, with
-    src = lat[s:s+L], tgt = lat[s+1:s+L+1], tgt_original = orig[s+1:s+L+1],
-    ib_out = ib[s:s+L]. (Random time_shifting is applied at batch time by
-    the caller if enabled.)
+    (data_processors.py:412-452): per trajectory, num_windows = T // step
+    windows at starts w*step, with src = lat[s:s+L], tgt = lat[s+1:s+L+1],
+    tgt_original = orig[s+1:s+L+1], ib_out = ib[s:s+L].
+
+    ``time_shift_rng``: when given, applies the reference's random
+    time-shifting (data_processors.py:436-439; a fresh random shift per
+    window) — call once per epoch with a seeded RNG to resample shifted
+    windows. The reference draws shift in [0, T-step) which can overflow
+    the trajectory for windows after the first; shifts are clamped to the
+    valid range here.
     """
     step = src_len - overlap
     tr, T = latents.shape[:2]
@@ -97,6 +103,9 @@ def make_temporal_windows(latents: np.ndarray, originals: np.ndarray,
         num = T // step
         for w in range(num):
             s = w * step
+            if time_shift_rng is not None and T - step > 0:
+                shift = int(time_shift_rng.randint(0, T - step))
+                s = min(s + shift, T - src_len - 1)
             if s + src_len + 1 > T:
                 # The reference would produce a ragged (short) tgt here and
                 # crash in the DataLoader collate; we skip such windows.

@@ -127,10 +127,13 @@ def init_temporal_block(key, cfg: TemporalModelConfig, dtype=jnp.float32):
         elif cfg.pool_update_method == "pooling":
             block["pool_update"] = jnp.ones((G,), dtype) / G
         else:
+            # The reference constructs an nn.GRU for 'gru' (temporal.py:240)
+            # but its _update_pool_token raises ValueError for it
+            # (temporal.py:244-251) — a dead, broken path. Not reproduced.
             raise NotImplementedError(
-                f"pool_update_method={cfg.pool_update_method!r} (the "
-                "reference's GRU variant is not implemented; use "
-                "linear/mlp/pooling)")
+                f"pool_update_method={cfg.pool_update_method!r}: the "
+                "reference's GRU variant is unreachable dead code "
+                "(temporal.py:244-251 rejects it); use linear/mlp/pooling")
         block["pool_pe"] = L.sinusoidal_pe_table(dd, max_len=5000, dtype=dtype)
     return block
 

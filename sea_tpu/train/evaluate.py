@@ -31,6 +31,19 @@ from sea_tpu.utils.plotting import (plot_all_fields_2d, plot_all_fields_3d,
                                     plot_rollout_error)
 
 
+def autoregressive_validation(params, case: CaseConfig, windows, *,
+                               sample: int = 0):
+    """Cheap rollout check on ONE sample (train_utils.py:154-184): rollout
+    the window, return (mse_loss, mean rel-MSE over time) in latent space."""
+    src = jnp.asarray(windows.src[sample:sample + 1])
+    tgt = jnp.asarray(windows.tgt[sample:sample + 1])
+    ib = jnp.asarray(windows.ib[sample:sample + 1])
+    preds = rollout(params, case.temporal, src[:, 0], ib)
+    loss = float(M.mse(preds, tgt))
+    rel = float(jnp.mean(M.relative_mse_with_time(preds, tgt, axis=3)))
+    return loss, rel
+
+
 def full_autoregressive_evaluation(params, case: CaseConfig, windows,
                                    latent_service: LatentService,
                                    mesh_processor: MeshProcessor, *,

@@ -48,6 +48,10 @@ class TemporalData:
     test: TemporalWindows
     mesh_processor: MeshProcessor
     latent_service: LatentService
+    # Raw per-trajectory arrays for epoch-wise window resampling when
+    # dataset_time_shifting is on (reference reshuffles shift per item
+    # per epoch, data_processors.py:436-439).
+    train_raw: tuple = None  # (latents, fields, ib) for the train split
 
 
 def process_data(case: CaseConfig, *, data=None,
@@ -99,7 +103,9 @@ def process_data(case: CaseConfig, *, data=None,
 
     return TemporalData(train=windows(train_idx), val=windows(val_idx),
                         test=windows(test_idx), mesh_processor=mp,
-                        latent_service=svc)
+                        latent_service=svc,
+                        train_raw=(temporal_tokens[train_idx],
+                                   fields[train_idx], ib[train_idx]))
 
 
 def make_train_step(cfg: TemporalModelConfig, tx):
@@ -151,10 +157,18 @@ def train(case: CaseConfig,
     start = time.time()
 
     for epoch in range(1, n_epochs + 1):
+        train_windows = td.train
+        if tcfg.dataset_time_shifting and td.train_raw is not None:
+            shift_rng = np.random.RandomState(
+                (case.temporal_split.random_seed * 7919 + epoch) % (2**31))
+            train_windows = make_temporal_windows(
+                *td.train_raw, tcfg.dataset_src_len, tcfg.dataset_overlap,
+                time_shift_rng=shift_rng)
         train_loss, nb = 0.0, 0
         for src, tgt, _, ib in batch_iterator(
-                [td.train.src, td.train.tgt, td.train.tgt_original,
-                 td.train.ib], tcfg.batch_size, shuffle=True,
+                [train_windows.src, train_windows.tgt,
+                 train_windows.tgt_original,
+                 train_windows.ib], tcfg.batch_size, shuffle=True,
                 seed=case.temporal_split.random_seed, epoch=epoch,
                 drop_remainder=True):
             rng, step_key = jax.random.split(rng)

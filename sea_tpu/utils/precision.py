@@ -1,0 +1,30 @@
+"""Mixed-precision helpers.
+
+The reference trains in f32 throughout. On TPU the recommended policy is
+bf16 params/activations with f32 softmax statistics and f32 loss: attention
+score accumulation is already forced to f32 in ops/attention.py and the
+Pallas kernel; these helpers cast parameter pytrees between policies.
+LayerNorm/AdaLN scale/bias stay f32 (tiny, numerically sensitive).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def cast_floating(tree, dtype):
+    """Cast all floating leaves to dtype."""
+    def cast(x):
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating):
+            return x.astype(dtype)
+        return x
+    return jax.tree.map(cast, tree)
+
+
+def to_bf16(tree):
+    return cast_floating(tree, jnp.bfloat16)
+
+
+def to_f32(tree):
+    return cast_floating(tree, jnp.float32)
