@@ -51,25 +51,34 @@ def test_flash_bf16():
 
 
 def test_flash_gradient_matches_xla():
-    """custom_vjp backward (XLA recompute) must match differentiating the
-    XLA path directly."""
-    from sea_tpu.ops.flash_attention import flash_attention
-    B, T, H, hd = 1, 256, 2, 64
-    q = _rand((B, T, H, hd), 6)
-    k = _rand((B, T, H, hd), 7)
-    v = _rand((B, T, H, hd), 8)
+    """Fused Pallas backward vs differentiating the XLA path (interpret)."""
+    from sea_tpu.ops.flash_attention import _flash_backward, _flash_forward
 
-    def loss_flash(q, k, v):
-        # interpret-mode forward via monkeypatched call is awkward; the
-        # custom_vjp backward doesn't depend on the pallas forward, so test
-        # the backward directly against XLA grad.
-        return jnp.sum(_xla_attention(q, k, v, causal=True, src_len=0) ** 2)
+    for Tq, Tk, causal, src_len in [(256, 256, True, 0),
+                                    (300, 300, True, 3),
+                                    (128, 384, False, 0)]:
+        B, H, hd = 1, 2, 64
+        q = _rand((B, Tq, H, hd), 6)
+        k = _rand((B, Tk, H, hd), 7)
+        v = _rand((B, Tk, H, hd), 8)
+        g = _rand((B, Tq, H, hd), 9)
 
-    g_ref = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+        def f(q, k, v):
+            return _xla_attention(q, k, v, causal=causal, src_len=src_len)
 
-    from sea_tpu.ops.flash_attention import _bwd
-    out = _xla_attention(q, k, v, causal=True, src_len=0)
-    g = 2.0 * out  # d(sum(out^2))/d(out)
-    g_got = _bwd(True, 0, 128, 128, (q, k, v), g)
-    for a, b in zip(g_ref, g_got):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+        _, vjp = jax.vjp(f, q, k, v)
+        dq_ref, dk_ref, dv_ref = vjp(g)
+
+        out, lse = _flash_forward(q, k, v, causal=causal, src_len=src_len,
+                                  block_q=128, block_k=128, interpret=True,
+                                  return_lse=True)
+        dq, dk, dv = _flash_backward(q, k, v, out, lse, g, causal=causal,
+                                     src_len=src_len, block_q=128,
+                                     block_k=128, interpret=True)
+        label = f"Tq={Tq},Tk={Tk},causal={causal},src_len={src_len}"
+        np.testing.assert_allclose(np.asarray(dq), np.asarray(dq_ref),
+                                   atol=5e-5, err_msg="dq " + label)
+        np.testing.assert_allclose(np.asarray(dk), np.asarray(dk_ref),
+                                   atol=5e-5, err_msg="dk " + label)
+        np.testing.assert_allclose(np.asarray(dv), np.asarray(dv_ref),
+                                   atol=5e-5, err_msg="dv " + label)
