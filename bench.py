@@ -29,6 +29,10 @@ sys.path.insert(0, REPO)
 STEPS = 250
 BATCH = 1
 REPEATS = 5
+# SEA_BENCH_DTYPE=bf16 runs with bf16 matmul weights (1385 vs 822 steps/s
+# measured on v5e, ~1.6% latent deviation over 250 steps on random weights);
+# default f32 keeps the headline number quantization-free.
+DTYPE = os.environ.get("SEA_BENCH_DTYPE", "float32")
 
 
 def main():
@@ -43,6 +47,9 @@ def main():
         ib_mlp_layers=1, ib_num=1, add_info_after_cross=True, ln_type="ln")
 
     params = init_temporal(jax.random.PRNGKey(0), cfg)
+    if DTYPE == "bf16":
+        from sea_tpu.utils.precision import cast_weights_bf16
+        params = cast_weights_bf16(params)
     key = jax.random.PRNGKey(1)
     # Distinct inputs per repeat: the tunneled TPU backend caches identical
     # dispatches, which would make repeated identical calls measure ~0.
@@ -75,7 +82,8 @@ def main():
             vs_baseline = steps_per_sec / ref
 
     print(json.dumps({
-        "metric": "multiphase_250step_rollout_steps_per_sec",
+        "metric": "multiphase_250step_rollout_steps_per_sec"
+                  + ("_bf16w" if DTYPE == "bf16" else ""),
         "value": round(steps_per_sec, 3),
         "unit": "steps/sec/chip",
         "vs_baseline": round(vs_baseline, 3) if vs_baseline else None,

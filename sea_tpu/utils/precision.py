@@ -28,3 +28,17 @@ def to_bf16(tree):
 
 def to_f32(tree):
     return cast_floating(tree, jnp.float32)
+
+
+def cast_weights_bf16(tree, min_size: int = 1 << 16):
+    """Weight-only bf16: cast 2D+ floating leaves with >= min_size elements
+    (the big matmul weights) to bf16; keep norms, biases, and everything
+    small in f32. Activations stay f32 (mixed-dtype matmuls read bf16
+    weights from HBM and widen in-register), capturing most of the
+    HBM-bandwidth win of full bf16 at a fraction of the drift."""
+    def cast(x):
+        if (hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
+                and x.ndim >= 2 and x.size >= min_size):
+            return x.astype(jnp.bfloat16)
+        return x
+    return jax.tree.map(cast, tree)
