@@ -114,6 +114,10 @@ def make_temporal_windows(latents: np.ndarray, originals: np.ndarray,
             tgts.append(latents[t, s + 1:s + src_len + 1])
             origs.append(originals[t, s + 1:s + src_len + 1])
             ibs.append(ib[t, s:s + src_len])
+    if not srcs:
+        raise ValueError(
+            f"no temporal windows: {tr} trajectories of length {T} with "
+            f"src_len={src_len} (need T >= src_len+1 and a non-empty split)")
     return TemporalWindows(src=np.stack(srcs), tgt=np.stack(tgts),
                            tgt_original=np.stack(origs), ib=np.stack(ibs))
 

@@ -86,3 +86,26 @@ def write_dataset(out_dir: str, fields: np.ndarray, coordinates: np.ndarray,
     np.save(f"{out_dir}/field_data.npy", fields)
     np.save(f"{out_dir}/coordinates.npy", coordinates)
     np.save(f"{out_dir}/input_data.npy", input_data)
+
+
+def channel3d_like(tr: int = 3, T: int = 20, n_nodes: int = 500,
+                   seed: int = 2) -> Tuple[np.ndarray, np.ndarray,
+                                           np.ndarray]:
+    """3D channel-flow-like dataset: (u, v, w) over an irregular 3D mesh,
+    exercising the 3D partitioner path end-to-end."""
+    rng = np.random.RandomState(seed)
+    xyz = rng.rand(n_nodes, 3) * np.array([4.0, 1.0, 1.0])
+    x, y, z = xyz[:, 0], xyz[:, 1], xyz[:, 2]
+    speeds = 0.5 + rng.rand(tr)
+    t_axis = np.arange(T, dtype=np.float32)
+
+    fields = np.zeros((tr, T, n_nodes, 3), dtype=np.float32)
+    for i, s in enumerate(speeds):
+        phase = 2 * np.pi * (x[None, :] / 4.0 - 0.05 * s * t_axis[:, None])
+        profile = (y * (1 - y) * z * (1 - z))[None, :] * 16.0
+        fields[i, :, :, 0] = profile * (1.0 + 0.2 * np.sin(phase))
+        fields[i, :, :, 1] = 0.1 * profile * np.cos(phase)
+        fields[i, :, :, 2] = 0.05 * profile * np.sin(2 * phase)
+    coordinates = xyz.T.astype(np.float32)
+    input_data = np.repeat(speeds[:, None, None], T, axis=1).astype(np.float32)
+    return fields, coordinates, input_data
