@@ -197,6 +197,14 @@ TEMPORAL_VARIANTS = [
          ib_addition_mode="none", add_info_after_cross=True),
     dict(exchange_mode="simple", ln_type="ln", ib_scale_mode="mlp",
          ib_addition_mode="add", add_info_after_cross=True),
+    # concat widens the stream to E+64 and only works with the conditioning
+    # injected BEFORE the self-attention (after_cross=True would feed an
+    # E-dim input into (E+64)-dim modules and crash in the reference too).
+    dict(exchange_mode="sea", ln_type="ln", ib_scale_mode="linear",
+         ib_addition_mode="concat", add_info_after_cross=False),
+    # attention-mode ib conditioning: unmasked cross-attn over the ib stream.
+    dict(exchange_mode="sea", ln_type="adaln", ib_scale_mode="mlp",
+         ib_addition_mode="attention", add_info_after_cross=True),
 ]
 
 
