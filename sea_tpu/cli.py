@@ -85,8 +85,21 @@ def main(argv=None):
     if args.model_type == "encoder":
         from sea_tpu.train.train_spatial import train as train_spatial
         if args.mode == "train":
+            init_params = None
+            if args.model_path:
+                import jax
+                from sea_tpu.train.train_spatial import process_data as _pd
+                sd0 = _pd(case, data=data)
+                from sea_tpu.models.spatial import init_spatial
+                template = init_spatial(jax.random.PRNGKey(0),
+                                        sd0.spatial_cfg)
+                init_params = _load_any_checkpoint(
+                    args.model_path, template, sd0.spatial_cfg,
+                    kind="spatial")
+                print(f"Continuing training from model: {args.model_path}")
             params, sd = train_spatial(case, tracker, data=data,
-                                       epochs=args.epochs)
+                                       epochs=args.epochs,
+                                       init_params=init_params)
             if case.spatial_train.final_save:
                 from sea_tpu.utils.checkpoint import save_checkpoint
                 save_checkpoint(case.run.save_dir, "final_model_encoder",

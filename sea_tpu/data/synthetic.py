@@ -40,9 +40,12 @@ def cylinder_like(tr: int = 5, T: int = 50, n_nodes: int = 600,
         phase = k * x[None, :] - 2.0 * np.pi * freq * t_axis[:, None]
         envelope = np.exp(-0.5 * ((y[None, :] - 1.0) / 0.6) ** 2)
         wake = 1.0 / (1.0 + np.exp(-(x[None, :] - 2.0)))
-        u = 1.0 + 0.3 * envelope * wake * np.sin(phase)
-        v = 0.3 * envelope * wake * np.cos(phase) * np.sin(np.pi * y / 2.0)
-        p = -0.2 * envelope * wake * np.sin(2 * phase + 0.7)
+        # All fields O(1) so per-field relative MSE is comparable
+        # (real CFD data is min-max scaled; reference ships scaling off).
+        u = 1.0 + 0.5 * envelope * wake * np.sin(phase)
+        v = 0.5 + 0.8 * envelope * wake * np.cos(phase) * np.sin(
+            np.pi * y / 2.0)
+        p = 0.5 - 0.8 * envelope * wake * np.sin(2 * phase + 0.7)
         fields[i, :, :, 0] = u
         fields[i, :, :, 1] = v
         fields[i, :, :, 2] = p

@@ -123,9 +123,11 @@ def make_eval_step(cfg: SpatialModelConfig, *, kl_weight_min=0.0,
 def train(case: CaseConfig,
           error_tracker: Optional[BaseErrorTracker] = None, *,
           data=None, seed: int = 0,
-          epochs: Optional[int] = None) -> Tuple[Any, SpatialData]:
+          epochs: Optional[int] = None,
+          init_params=None) -> Tuple[Any, SpatialData]:
     """Returns (best params, data). ``epochs`` overrides the config (for
-    quick end-to-end slices)."""
+    quick end-to-end slices); ``init_params`` resumes from a checkpoint
+    (reference load_pretrained, train_encoder.py:162-165)."""
     tracker = error_tracker or NoOpErrorTracker()
     tcfg = case.spatial_train
     sd = process_data(case, data=data)
@@ -133,7 +135,8 @@ def train(case: CaseConfig,
 
     rng = jax.random.PRNGKey(seed)
     rng, init_key = jax.random.split(rng)
-    params = init_spatial(init_key, cfg)
+    params = init_params if init_params is not None \
+        else init_spatial(init_key, cfg)
     tx = make_optimizer(tcfg)
     opt_state = tx.init(params)
 
