@@ -57,6 +57,11 @@ def restore_pytree(path: str, template: Any) -> Any:
     """Restore leaves into the structure of ``template``."""
     if not path.endswith(".npz"):
         path = path + ".npz"
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            f"No checkpoint at {path}. Train the corresponding stage first "
+            "(e.g. `python -m sea_tpu.cli <case> encoder train`), or pass "
+            "--model_path to a .npz/.pt checkpoint.")
     data = np.load(path)
 
     def rebuild(tree, prefix=""):
@@ -106,3 +111,25 @@ def load_params(path: str, params_template: Any) -> Any:
     """
     tree = restore_pytree(path, {"params": params_template})
     return tree["params"]
+
+
+# ---------------------------------------------------------------------------
+# Orbax backend (optional): sharding-aware checkpoints for multi-host runs.
+# The npz path above covers single-host; orbax restores arrays directly onto
+# their device mesh shardings, which npz cannot.
+# ---------------------------------------------------------------------------
+
+def save_checkpoint_orbax(directory: str, tree: Any) -> str:
+    import orbax.checkpoint as ocp
+    path = os.path.abspath(directory)
+    ckptr = ocp.PyTreeCheckpointer()
+    ckptr.save(path, tree, force=True)
+    return path
+
+
+def restore_checkpoint_orbax(directory: str, template: Any = None) -> Any:
+    import orbax.checkpoint as ocp
+    ckptr = ocp.PyTreeCheckpointer()
+    if template is not None:
+        return ckptr.restore(os.path.abspath(directory), item=template)
+    return ckptr.restore(os.path.abspath(directory))
