@@ -18,9 +18,7 @@ import argparse
 import dataclasses
 import importlib
 import sys
-from pathlib import Path
 
-import numpy as np
 
 
 def get_case(flow_type: str):

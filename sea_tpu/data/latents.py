@@ -12,9 +12,6 @@ clearing gymnastics needed (:365-373) — arrays are device-managed.
 
 from __future__ import annotations
 
-import functools
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -27,7 +27,7 @@ tests/test_partitioner.py.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 

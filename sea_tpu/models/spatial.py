@@ -24,7 +24,7 @@ cells-per-patch); latent z [B, P, G, D].
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -29,7 +29,6 @@ see rollout/engine.py for the lax.scan driver.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -21,8 +21,6 @@ full recompute for causal attention with deterministic (no-dropout) weights.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 

@@ -28,8 +28,6 @@ against attention_core; real-mode smoke on TPU via bench paths).
 from __future__ import annotations
 
 import functools
-import math
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -19,7 +19,7 @@ jnp.ndarray). Numerics notes:
 from __future__ import annotations
 
 import math
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

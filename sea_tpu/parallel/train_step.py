@@ -16,18 +16,16 @@ all (SURVEY §2.10) — this is the TPU-native scaling path, not a port.
 from __future__ import annotations
 
 import functools
-from typing import Any, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import optax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh
 
 from sea_tpu.configs.base import SpatialModelConfig, TemporalModelConfig
 from sea_tpu.models.spatial import spatial_forward
 from sea_tpu.models.temporal import temporal_forward
-from sea_tpu.parallel.mesh import (batch_spec, shard_batch,
-                                   spatial_param_shardings,
+from sea_tpu.parallel.mesh import (shard_batch, spatial_param_shardings,
                                    temporal_param_shardings)
 from sea_tpu.rollout.engine import rollout_scan
 from sea_tpu.train import metrics as M

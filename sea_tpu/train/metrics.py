@@ -10,8 +10,6 @@ Mirror of reference utils/train_utils.py:
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax.numpy as jnp
 
 EPS = 1e-8
