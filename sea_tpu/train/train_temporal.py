@@ -134,8 +134,12 @@ def train(case: CaseConfig,
           error_tracker: Optional[BaseErrorTracker] = None, *,
           data=None, spatial_params=None, seed: int = 0,
           epochs: Optional[int] = None,
-          init_params=None, save_artifacts: bool = True
-          ) -> Tuple[Any, TemporalData]:
+          init_params=None, save_artifacts: bool = True,
+          mesh=None) -> Tuple[Any, TemporalData]:
+    """``mesh``: optional jax.sharding.Mesh — runs the whole loop
+    data-parallel (batches sharded over the 'data' axis, attention weights
+    over 'model'); same numerics as single-device (tests/test_parallel.py).
+    Batch size must be divisible by the mesh's data axis."""
     tracker = error_tracker or NoOpErrorTracker()
     tcfg = case.temporal_train
     td = process_data(case, data=data, spatial_params=spatial_params)
@@ -146,8 +150,15 @@ def train(case: CaseConfig,
     params = init_params if init_params is not None \
         else init_temporal(init_key, cfg)
     tx = make_optimizer(tcfg)
-    opt_state = tx.init(params)
-    train_step = make_train_step(cfg, tx)
+    if mesh is not None:
+        from sea_tpu.parallel.train_step import \
+            make_sharded_temporal_train_step
+        train_step, params, opt_state, place_batch = \
+            make_sharded_temporal_train_step(mesh, cfg, tx, params)
+    else:
+        opt_state = tx.init(params)
+        train_step = make_train_step(cfg, tx)
+        place_batch = None
     eval_step = make_eval_step(cfg)
 
     n_epochs = epochs if epochs is not None else tcfg.epoch_num
@@ -172,9 +183,13 @@ def train(case: CaseConfig,
                 seed=case.temporal_split.random_seed, epoch=epoch,
                 drop_remainder=True):
             rng, step_key = jax.random.split(rng)
+            if place_batch is not None:
+                src, tgt, ib = place_batch(src, tgt, ib)
+            else:
+                src, tgt, ib = (jnp.asarray(src), jnp.asarray(tgt),
+                                jnp.asarray(ib))
             params, opt_state, loss = train_step(
-                params, opt_state, jnp.asarray(src), jnp.asarray(tgt),
-                jnp.asarray(ib), step_key)
+                params, opt_state, src, tgt, ib, step_key)
             train_loss += float(loss)
             nb += 1
         if nb == 0:

@@ -97,3 +97,39 @@ def test_sharded_rollout_matches_single_device():
     run, pp, place = make_sharded_rollout(mesh, cfg, params)
     got = run(pp, *place(x0, ib))
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+@requires_8
+def test_temporal_driver_with_mesh(tmp_path):
+    """The full temporal training driver on a device mesh."""
+    from sea_tpu.configs.base import (CaseConfig, MeshConfig, RunConfig,
+                                      SpatialModelConfig, SplitConfig,
+                                      TrainConfig)
+    from sea_tpu.data.synthetic import cylinder_like
+    from sea_tpu.train.train_spatial import train as train_spatial
+    from sea_tpu.train.train_temporal import train as train_temporal
+
+    case = CaseConfig(
+        mesh=MeshConfig(m=3, n=3),
+        spatial=SpatialModelConfig(field_groups=((0, 1), (2,)), mlp_hidden=8,
+                                   num_layers=1, embed_dim=4, n_heads=2,
+                                   block_size=32),
+        temporal=_tcfg().__class__(num_layers=1, embed_dim=16, n_heads=2,
+                                   block_size=32, scale_ratio=2,
+                                   num_fields=2, down_proj=2, dropout=0.0,
+                                   exchange_mode="sea", ib_scale_mode="mlp",
+                                   ib_addition_mode="add", ln_type="adaln"),
+        temporal_split=SplitConfig(train_fraction=0.5, val_fraction=0.25),
+        spatial_train=TrainConfig(batch_size=8, epoch_num=1,
+                                  validation_interval=1),
+        temporal_train=TrainConfig(batch_size=4, eval_batch_size=2,
+                                   epoch_num=1, validation_interval=1,
+                                   full_eval_interval=999,
+                                   dataset_src_len=7),
+        run=RunConfig(save_dir=str(tmp_path)))
+    synth = cylinder_like(tr=8, T=8, n_nodes=100)
+    sparams, _ = train_spatial(case, data=synth)
+    mesh = make_mesh(n_data=4, n_model=2)
+    tparams, _ = train_temporal(case, data=synth, spatial_params=sparams,
+                                mesh=mesh, save_artifacts=False)
+    assert tparams is not None
