@@ -124,10 +124,12 @@ def train(case: CaseConfig,
           error_tracker: Optional[BaseErrorTracker] = None, *,
           data=None, seed: int = 0,
           epochs: Optional[int] = None,
-          init_params=None) -> Tuple[Any, SpatialData]:
+          init_params=None, mesh=None) -> Tuple[Any, SpatialData]:
     """Returns (best params, data). ``epochs`` overrides the config (for
     quick end-to-end slices); ``init_params`` resumes from a checkpoint
-    (reference load_pretrained, train_encoder.py:162-165)."""
+    (reference load_pretrained, train_encoder.py:162-165); ``mesh`` runs
+    the loop data-parallel over a device mesh (variational loss not
+    supported on the sharded path yet)."""
     tracker = error_tracker or NoOpErrorTracker()
     tcfg = case.spatial_train
     sd = process_data(case, data=data)
@@ -138,13 +140,28 @@ def train(case: CaseConfig,
     params = init_params if init_params is not None \
         else init_spatial(init_key, cfg)
     tx = make_optimizer(tcfg)
-    opt_state = tx.init(params)
 
     total_steps = max(1, round(tcfg.epoch_num * len(sd.train)
                                // max(1, tcfg.batch_size)))
-    train_step = make_train_step(cfg, tx, kl_weight_min=tcfg.kl_weight_min,
-                                 kl_weight_max=tcfg.kl_weight_max,
-                                 total_steps=total_steps)
+    place_batch = None
+    if mesh is not None:
+        if cfg.variational:
+            raise NotImplementedError("variational loss on the sharded path")
+        from sea_tpu.parallel.train_step import \
+            make_sharded_spatial_train_step
+        sharded_step, params, opt_state, place_batch = \
+            make_sharded_spatial_train_step(mesh, cfg, tx, params)
+
+        def train_step(params, opt_state, batch, rng, iteration):
+            p, o, loss = sharded_step(params, opt_state, batch, rng)
+            return p, o, {"loss": loss, "recon_loss": loss,
+                          "kl_loss": jnp.zeros(()), "r2": jnp.zeros(())}
+    else:
+        opt_state = tx.init(params)
+        train_step = make_train_step(cfg, tx,
+                                     kl_weight_min=tcfg.kl_weight_min,
+                                     kl_weight_max=tcfg.kl_weight_max,
+                                     total_steps=total_steps)
     eval_step = make_eval_step(cfg, kl_weight_min=tcfg.kl_weight_min,
                                kl_weight_max=tcfg.kl_weight_max,
                                total_steps=total_steps)
@@ -163,8 +180,10 @@ def train(case: CaseConfig,
                                        seed=case.spatial_split.random_seed,
                                        epoch=epoch, drop_remainder=True):
             rng, step_key = jax.random.split(rng)
+            batch = (place_batch(batch) if place_batch is not None
+                     else jnp.asarray(batch))
             params, opt_state, stats = train_step(
-                params, opt_state, jnp.asarray(batch), step_key,
+                params, opt_state, batch, step_key,
                 jnp.asarray(iteration))
             for k in agg:
                 agg[k] += float(stats[k])

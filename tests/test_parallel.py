@@ -133,3 +133,25 @@ def test_temporal_driver_with_mesh(tmp_path):
     tparams, _ = train_temporal(case, data=synth, spatial_params=sparams,
                                 mesh=mesh, save_artifacts=False)
     assert tparams is not None
+
+
+@requires_8
+def test_spatial_driver_with_mesh(tmp_path):
+    from sea_tpu.configs.base import (CaseConfig, MeshConfig, RunConfig,
+                                      SpatialModelConfig, TrainConfig)
+    from sea_tpu.data.synthetic import cylinder_like
+    from sea_tpu.train.train_spatial import train as train_spatial
+    case = CaseConfig(
+        mesh=MeshConfig(m=3, n=3),
+        spatial=SpatialModelConfig(field_groups=((0, 1), (2,)), mlp_hidden=8,
+                                   num_layers=1, embed_dim=4, n_heads=2,
+                                   block_size=32),
+        temporal=_tcfg().__class__(num_layers=1, embed_dim=16, n_heads=2,
+                                   scale_ratio=2, num_fields=2),
+        spatial_train=TrainConfig(batch_size=16, epoch_num=1,
+                                  validation_interval=1),
+        run=RunConfig(save_dir=str(tmp_path)))
+    synth = cylinder_like(tr=6, T=8, n_nodes=100)
+    mesh = make_mesh(n_data=8, n_model=1)
+    params, sd = train_spatial(case, data=synth, mesh=mesh)
+    assert params is not None
