@@ -108,10 +108,19 @@ def process_data(case: CaseConfig, *, data=None,
                                    fields[train_idx], ib[train_idx]))
 
 
-def make_train_step(cfg: TemporalModelConfig, tx):
+def make_train_step(cfg: TemporalModelConfig, tx, *,
+                    compute_dtype: str = "float32"):
+    """compute_dtype='bfloat16' runs the forward/backward with bf16 matmul
+    weights while AdamW keeps f32 master params (mixed-precision policy;
+    loss and softmax statistics stay f32)."""
+    cast = compute_dtype == "bfloat16"
+
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def step(params, opt_state, src, tgt, ib, rng):
         def loss_fn(p):
+            if cast:
+                from sea_tpu.utils.precision import cast_weights_bf16
+                p = cast_weights_bf16(p)
             out = temporal_forward(p, cfg, src, ib, rng=rng,
                                    deterministic=False)
             return M.mse(out, tgt)
@@ -157,7 +166,8 @@ def train(case: CaseConfig,
             make_sharded_temporal_train_step(mesh, cfg, tx, params)
     else:
         opt_state = tx.init(params)
-        train_step = make_train_step(cfg, tx)
+        train_step = make_train_step(cfg, tx,
+                                     compute_dtype=tcfg.compute_dtype)
         place_batch = None
     eval_step = make_eval_step(cfg)
 

@@ -180,3 +180,34 @@ def test_autoregressive_validation():
         ib=rng.randn(W, L, 1).astype(np.float32))
     loss, rel = autoregressive_validation(params, case, windows)
     assert np.isfinite(loss) and np.isfinite(rel)
+
+
+def test_bf16_train_step_converges():
+    """Mixed-precision temporal train step: loss decreases, params stay f32."""
+    import jax
+    from sea_tpu.models.temporal import init_temporal
+    from sea_tpu.train.optim import make_optimizer
+    from sea_tpu.train.train_temporal import make_train_step
+    from sea_tpu.configs.base import TrainConfig
+    cfg = TemporalModelConfig(num_layers=1, embed_dim=16, n_heads=2,
+                              block_size=32, scale_ratio=2, num_fields=2,
+                              down_proj=2, dropout=0.0, exchange_mode="sea",
+                              ib_scale_mode="mlp", ib_addition_mode="add",
+                              ln_type="adaln")
+    params = init_temporal(jax.random.PRNGKey(0), cfg)
+    tx = make_optimizer(TrainConfig(learning_rate=3e-3))
+    opt = tx.init(params)
+    step = make_train_step(cfg, tx, compute_dtype="bfloat16")
+    key = jax.random.PRNGKey(1)
+    src = jax.random.normal(key, (2, 6, 2, 16))
+    tgt = src * 0.5
+    ib = jax.random.normal(jax.random.fold_in(key, 1), (2, 6, 1))
+    losses = []
+    for i in range(20):
+        params, opt, loss = step(params, opt, src, tgt, ib,
+                                 jax.random.fold_in(key, 10 + i))
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] * 0.7, losses
+    assert all(l.dtype == jnp.float32 for l in jax.tree.leaves(params)
+               if hasattr(l, "dtype") and jnp.issubdtype(l.dtype,
+                                                         jnp.floating))
