@@ -1,0 +1,92 @@
+"""Fully on-device end-to-end rollout evaluation.
+
+The north star asks for the 250-step rollout "fully on-device". The driver
+pipeline (train/evaluate.py) mirrors the reference's staging — rollout,
+then batched decode, then host-side un-patching — with host transfers
+between stages (the reference bounces latents GPU->CPU->GPU,
+train_utils.py:220-230).
+
+Here the WHOLE evaluation is one jit-compiled XLA program:
+    scan rollout (KV caches)
+ -> latent layout shuttle (reshape/transpose)
+ -> frozen stage-1 decode
+ -> device-side un-patch (scatter, partitioner.unpatchify_jax)
+ -> per-(time, field) relative MSE against ground truth
+Nothing touches the host between the initial latent state and the final
+metric tensor.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sea_tpu.configs.base import SpatialModelConfig, TemporalModelConfig
+from sea_tpu.data.partitioner import PartitionIndex
+from sea_tpu.models.spatial import spatial_decode
+from sea_tpu.rollout.engine import rollout_scan
+from sea_tpu.train import metrics as M
+
+
+def make_e2e_rollout_eval(tcfg: TemporalModelConfig,
+                          scfg: SpatialModelConfig,
+                          part: PartitionIndex, *,
+                          sea_layout: str = "isolate",
+                          scalers=None, field_groups=None):
+    """Returns a jitted fn(temporal_params, spatial_params, x0, ib, truth)
+    -> (decoded_fields [B,T,N,F], rel_mse_per_time [B,T,F]).
+
+    x0:    [B, G, E] initial latent state
+    ib:    [B, T, ib_num]
+    truth: [B, T, N, F] ground-truth node fields aligned with predictions
+    scalers/field_groups: the MeshProcessor's min-max scalers (optional) —
+    inverse scaling is folded into the compiled program as per-field
+    affine constants.
+    """
+    P = part.num_patches
+    C = part.cells_per_patch
+    D = scfg.embed_dim
+    G = scfg.num_groups
+    num_nodes = part.num_nodes
+    # Per-field inverse-scale affine constants (identity without scalers):
+    # orig = scaled * a + b  where a = (max-min)/(hi-lo), b = min - lo*a.
+    n_fields = sum(len(g) for g in scfg.field_groups)
+    a = np.ones((n_fields,), np.float32)
+    b = np.zeros((n_fields,), np.float32)
+    if scalers:
+        for scaler, group in zip(scalers, field_groups):
+            lo, hi = scaler.feature_range
+            af = (scaler.max_val - scaler.min_val) / (hi - lo)
+            for f in group:
+                a[f] = af
+                b[f] = scaler.min_val - lo * af
+    a = jnp.asarray(a)
+    b = jnp.asarray(b)
+    # Static scatter index for device-side unpatchify.
+    scatter_idx = jnp.asarray(
+        np.where(part.valid_mask, part.index_map, num_nodes).reshape(-1))
+
+    def unpatch(dec):  # [B*T, P, C, F] -> [B*T, N, F]
+        BT, _, _, F = dec.shape
+        flat = dec.reshape(BT, P * C, F)
+        out = jnp.zeros((BT, num_nodes + 1, F), dec.dtype)
+        out = out.at[:, scatter_idx, :].set(flat)
+        return out[:, :num_nodes, :]
+
+    @jax.jit
+    def run(tparams, sparams, x0, ib, truth):
+        B, T = ib.shape[0], ib.shape[1]
+        preds = rollout_scan(tparams, tcfg, x0, ib)  # [B,T,G,E]
+        lat = preds.reshape(B * T, G, P, D).transpose(0, 2, 1, 3)
+        dec = spatial_decode(sparams, scfg, lat)  # [B*T, P, F, C]
+        if sea_layout == "isolate":
+            dec = dec.transpose(0, 1, 3, 2)  # -> [B*T, P, C, F]
+        else:  # mixed
+            dec = dec.reshape(B * T, P, C, dec.shape[2])
+        fields = unpatch(dec).reshape(B, T, num_nodes, -1)
+        fields = fields * a + b  # inverse min-max scaling (identity if off)
+        rel = M.relative_mse_with_time(fields, truth, axis=2)  # [B,T,F]
+        return fields, rel
+
+    return run

@@ -1,0 +1,71 @@
+"""Fully on-device rollout eval must match the staged (numpy) pipeline."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sea_tpu.configs.base import (CaseConfig, MeshConfig, RunConfig,
+                                  SpatialModelConfig, TemporalModelConfig,
+                                  TrainConfig)
+from sea_tpu.data.datasets import apply_sea_layout, make_temporal_windows
+from sea_tpu.data.latents import LatentService, transform_latents_to_temporal
+from sea_tpu.data.mesh import MeshProcessor
+from sea_tpu.data.synthetic import cylinder_like
+from sea_tpu.models.spatial import init_spatial
+from sea_tpu.models.temporal import init_temporal
+from sea_tpu.rollout.e2e import make_e2e_rollout_eval
+from sea_tpu.train.evaluate import full_autoregressive_evaluation
+
+
+import pytest
+
+
+@pytest.mark.parametrize("scaled", [False, True])
+def test_on_device_eval_matches_staged_pipeline(tmp_path, scaled):
+    fields, coords, ib = cylinder_like(tr=2, T=9, n_nodes=150)
+    tr, T, N, F = fields.shape
+    mesh_cfg = MeshConfig(m=3, n=3,
+                          scale_feature_range=(-1.0, 1.0) if scaled else None)
+    mp = MeshProcessor(mesh_cfg, [[0, 1], [2]], coords,
+                       save_dir=str(tmp_path))
+    _, patched = mp.patchify_and_scale(fields.reshape(tr * T, N, F))
+    tokens = apply_sea_layout(patched, "isolate")
+
+    scfg = SpatialModelConfig(field_groups=((0, 1), (2,)), mlp_hidden=8,
+                              num_layers=1, embed_dim=4, n_heads=2,
+                              block_size=32).with_n_inp(mp.cells_per_patch)
+    sparams = init_spatial(jax.random.PRNGKey(0), scfg)
+    svc = LatentService(scfg, sparams)
+    lat = transform_latents_to_temporal(svc.encode_dataset(tokens), tr, T,
+                                        mp.num_patches, 2)
+
+    tcfg = TemporalModelConfig(num_layers=1, embed_dim=16, n_heads=2,
+                               block_size=32, scale_ratio=2, num_fields=2,
+                               down_proj=2, dropout=0.0, exchange_mode="sea",
+                               ib_scale_mode="mlp", ib_addition_mode="add",
+                               ln_type="adaln")
+    tparams = init_temporal(jax.random.PRNGKey(1), tcfg)
+
+    windows = make_temporal_windows(lat, fields, ib, src_len=T - 1)
+    case = CaseConfig(mesh=mesh_cfg, spatial=scfg, temporal=tcfg,
+                      run=RunConfig(save_dir=str(tmp_path)))
+
+    # Staged (numpy) pipeline.
+    staged = full_autoregressive_evaluation(tparams, case, windows, svc, mp,
+                                            save_artifacts=False)
+
+    # Fully on-device pipeline.
+    run = make_e2e_rollout_eval(tcfg, scfg, mp.partition,
+                                scalers=mp.scalers,
+                                field_groups=mp.field_groups)
+    decoded, rel = run(tparams, sparams,
+                       jnp.asarray(windows.src[:, 0]),
+                       jnp.asarray(windows.ib),
+                       jnp.asarray(windows.tgt_original))
+    per_time = np.asarray(rel).mean(axis=0)
+
+    np.testing.assert_allclose(per_time,
+                               staged["decoded_rel_mse_per_time"],
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(float(np.asarray(rel).mean()),
+                               staged["decoded_rel_mse"], rtol=1e-4)
