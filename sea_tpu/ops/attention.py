@@ -83,6 +83,10 @@ def mha(params, x_q, x_kv, *, n_heads: int, causal: bool, rope: bool,
     x_q: [B, Tq, C]; x_kv: [B, Tk, C]. When ``rope`` is True the reference
     assumes Tq == Tk and rotates both streams with absolute positions 0..T-1
     (base_blocks.py:184,276).
+
+    impl: "auto" (Pallas flash kernel on TPU for long deterministic
+    sequences, XLA otherwise), "flash" (force the kernel), "xla" (force
+    the reference path).
     """
     B, Tq, C = x_q.shape
     q = _split_heads(linear(params["q"], x_q), n_heads)
@@ -103,6 +107,8 @@ def mha(params, x_q, x_kv, *, n_heads: int, causal: bool, rope: bool,
     use_flash = False
     if impl == "flash":
         use_flash = True
+    elif impl == "xla":
+        use_flash = False
     elif impl == "auto":
         try:
             from sea_tpu.ops import flash_attention as _fa
