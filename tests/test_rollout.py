@@ -129,3 +129,20 @@ def test_rollout_dispatch_jit_compiles():
     out = rollout(params, cfg, x0, ib)
     assert out.shape == (1, 5, cfg.num_fields, cfg.embed_dim)
     assert bool(jnp.isfinite(out).all())
+
+
+def test_pool_mode_rollout_uses_prefix_recompute():
+    """Pool mode has no causal-incremental exchange; the dispatcher must
+    fall back to prefix recompute and still produce finite predictions."""
+    cfg = _cfg(exchange_mode="pool", ln_type="ln",
+               pool_update_method="mlp")
+    params = init_temporal(jax.random.PRNGKey(7), cfg)
+    x0 = 0.1 * jax.random.normal(jax.random.PRNGKey(8),
+                                 (1, cfg.num_fields, cfg.embed_dim))
+    ib = jax.random.normal(jax.random.PRNGKey(9), (1, 4, cfg.ib_num))
+    out = rollout(params, cfg, x0, ib)
+    assert out.shape == (1, 4, cfg.num_fields, cfg.embed_dim)
+    assert bool(jnp.isfinite(out).all())
+    # And it must equal the oracle by construction.
+    ref = rollout_prefix_recompute(params, cfg, x0, ib)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
