@@ -19,7 +19,4 @@ def __getattr__(name):
     if name == "temporal":
         from sea_tpu.models import temporal
         return temporal
-    if name == "rollout":
-        from sea_tpu.rollout import engine
-        return engine
     raise AttributeError(name)

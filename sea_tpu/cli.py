@@ -22,12 +22,14 @@ import sys
 
 
 def get_case(flow_type: str):
-    try:
-        module = importlib.import_module(f"sea_tpu.configs.{flow_type}")
-    except ImportError:
+    import importlib.util
+    if importlib.util.find_spec(f"sea_tpu.configs.{flow_type}") is None:
         print(f"Error: Unknown flow type '{flow_type}'. Make sure the "
               f"corresponding config module exists in sea_tpu.configs.")
         sys.exit(1)
+    # Import errors raised *inside* a valid config module (e.g. a missing
+    # dependency) propagate with their real traceback.
+    module = importlib.import_module(f"sea_tpu.configs.{flow_type}")
     if not hasattr(module, "get_case"):
         print(f"Error: The config module for '{flow_type}' does not have "
               f"the required get_case function.")

@@ -105,7 +105,7 @@ def make_temporal_windows(latents: np.ndarray, originals: np.ndarray,
             s = w * step
             if time_shift_rng is not None and T - step > 0:
                 shift = int(time_shift_rng.randint(0, T - step))
-                s = min(s + shift, T - src_len - 1)
+                s = max(0, min(s + shift, T - src_len - 1))
             if s + src_len + 1 > T:
                 # The reference would produce a ragged (short) tgt here and
                 # crash in the DataLoader collate; we skip such windows.

@@ -49,11 +49,13 @@ class LatentService:
 
     def encode_dataset(self, data: np.ndarray) -> np.ndarray:
         """[B, P, F, C] -> latents [B, P, G, D] (data_processors.py:335-352).
-        Variational models encode to the mean (deterministic)."""
+
+        Variational models return the deterministic post-transformer latent
+        z (spatial_encode uses z = mu in eval mode) — matching the reference
+        ``z, _, _ = model.encode(data)`` (data_processors.py:346-348)."""
         if self.cfg.variational:
             fn = jax.jit(lambda p, x: spatial_encode(
-                p, self.cfg, apply_padding_mask(x))[1].reshape(
-                    x.shape[0], -1, self.cfg.num_groups, self.cfg.embed_dim))
+                p, self.cfg, apply_padding_mask(x))[0])
             return self._batched(fn, data)
         return self._batched(self._encode, data)
 

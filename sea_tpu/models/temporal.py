@@ -69,7 +69,10 @@ def init_temporal_block(key, cfg: TemporalModelConfig, dtype=jnp.float32):
     G = cfg.num_fields
     D = cfg.internal_embed_dim
     dd = cfg.down_dim
-    keys = iter(jax.random.split(key, 8 * G + G * G + 16))
+    # Worst-case consumption: 1 (ib) + 3G (ln_exp) + G (self) + G (mlp)
+    # + G (proj) + G (cross_attn_ib) + 3G (cross down/up/ln) + G*G (sea
+    # lattice) + G+4 (pool extras).
+    keys = iter(jax.random.split(key, 1 + 11 * G + G * G + 8))
 
     block = {
         "ib": _init_ib_layer(next(keys), cfg, dtype),
@@ -411,13 +414,15 @@ def temporal_step(params, cfg: TemporalModelConfig, x_t, ib_t, cache, t):
 
         if cfg.exchange_mode == "sea":
             for i in range(G):
+                # x_vars[i] is constant until after the j loop: hoist the
+                # i-side down-projection + norm out of it.
+                x_i_down = L.linear(block["cross_down"][i], x_vars[i])
+                x_i_norm = _norm_step(block["ln_cross"][i], x_i_down, ib_t)
                 acc = None
                 for j in range(G):
                     if i == j:
                         continue
-                    x_i_down = L.linear(block["cross_down"][i], x_vars[i])
                     x_j_down = L.linear(block["cross_down"][j], x_vars[j])
-                    x_i_norm = _norm_step(block["ln_cross"][i], x_i_down, ib_t)
                     x_j_norm = _norm_step(block["ln_cross"][j], x_j_down, ib_t)
                     attn, nc["cross"][i][j] = mha_step(
                         block["cross_attn"][i][j], x_i_norm, x_j_norm,

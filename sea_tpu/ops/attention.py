@@ -168,7 +168,11 @@ def mha_step(params, x_q_t, x_kv_t, cache, t, *, n_heads: int, rope: bool,
     scale = hd ** -0.5
     scores = jnp.einsum("bqhd,bkhd->bhqk", q, cache_k,
                         preferred_element_type=jnp.float32) * scale
-    valid = jnp.arange(T_max)[None, None, None, :] <= (t + src_len)
+    # Causality allows positions <= t + src_len, but the cache only holds
+    # entries <= t; admitting t+1..t+src_len would attend to zero-initialized
+    # slots and diverge from prefix recompute for src_len > 0.
+    limit = jnp.minimum(t + src_len, t)
+    valid = jnp.arange(T_max)[None, None, None, :] <= limit
     scores = jnp.where(valid, scores, NEG_INF)
     probs = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(cache_v.dtype), cache_v,

@@ -58,7 +58,6 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scratch, l_scratch,
     k_start = kj * block_k
 
     # Skip key blocks entirely above the (offset) diagonal.
-    needed = (not causal) or True
     if causal:
         block_needed = k_start <= q_start + block_q - 1 + src_len
     else:

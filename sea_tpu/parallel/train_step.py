@@ -40,13 +40,18 @@ def _place_state(mesh, params, pspec, tx):
 
 
 def make_sharded_temporal_train_step(mesh: Mesh, cfg: TemporalModelConfig,
-                                     tx, params):
+                                     tx, params, *,
+                                     compute_dtype: str = "float32"):
     pspec = temporal_param_shardings(mesh, params)
     placed_params, placed_opt = _place_state(mesh, params, pspec, tx)
+    cast = compute_dtype == "bfloat16"
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def step(params, opt_state, src, tgt, ib, rng):
         def loss_fn(p):
+            if cast:
+                from sea_tpu.utils.precision import cast_weights_bf16
+                p = cast_weights_bf16(p)
             out = temporal_forward(p, cfg, src, ib, rng=rng,
                                    deterministic=False)
             return M.mse(out, tgt)
@@ -64,13 +69,18 @@ def make_sharded_temporal_train_step(mesh: Mesh, cfg: TemporalModelConfig,
 
 
 def make_sharded_spatial_train_step(mesh: Mesh, cfg: SpatialModelConfig,
-                                    tx, params):
+                                    tx, params, *,
+                                    compute_dtype: str = "float32"):
     pspec = spatial_param_shardings(mesh, params)
     placed_params, placed_opt = _place_state(mesh, params, pspec, tx)
+    cast = compute_dtype == "bfloat16"
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def step(params, opt_state, batch, rng):
         def loss_fn(p):
+            if cast:
+                from sea_tpu.utils.precision import cast_weights_bf16
+                p = cast_weights_bf16(p)
             recon = spatial_forward(p, cfg, batch, rng=rng,
                                     deterministic=False)
             return M.mse(recon, batch)

@@ -77,8 +77,16 @@ def rollout_prefix_recompute(params, cfg: TemporalModelConfig, x0, ib):
 
 
 def rollout(params, cfg: TemporalModelConfig, x0, ib):
-    """Dispatch: scan engine when the exchange mode supports incremental
-    decoding, prefix recompute otherwise."""
-    if cfg.exchange_mode == "pool" or cfg.ib_addition_mode == "attention":
+    """Dispatch: scan engine when the model is incrementally computable,
+    prefix recompute otherwise. Not incrementally computable:
+    - pool exchange (the pool token mixes full streams),
+    - attention-mode ib conditioning (unmasked attention over the ib stream),
+    - src_len != 0 (the tril diagonal offset lets token p attend p+1..p+src_len,
+      so the model is NOT causal and earlier tokens' states change as the
+      prefix grows — prefix recompute is the defining semantics there; both
+      shipped configs use src_len=0).
+    """
+    if (cfg.exchange_mode == "pool" or cfg.ib_addition_mode == "attention"
+            or cfg.src_len != 0):
         return rollout_prefix_recompute(params, cfg, x0, ib)
     return rollout_jit(params, cfg, x0, ib)

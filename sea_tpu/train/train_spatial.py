@@ -75,10 +75,16 @@ def process_data(case: CaseConfig, *, data=None) -> SpatialData:
 
 
 def make_train_step(cfg: SpatialModelConfig, tx, *, kl_weight_min=0.0,
-                    kl_weight_max=0.0, total_steps: int = 1):
+                    kl_weight_max=0.0, total_steps: int = 1,
+                    compute_dtype: str = "float32"):
+    cast = compute_dtype == "bfloat16"
+
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def step(params, opt_state, batch, rng, iteration):
         def loss_fn(p):
+            if cast:
+                from sea_tpu.utils.precision import cast_weights_bf16
+                p = cast_weights_bf16(p)
             if cfg.variational:
                 recon, mu, logvar = spatial_forward(p, cfg, batch, rng=rng,
                                                     deterministic=False)
@@ -141,8 +147,12 @@ def train(case: CaseConfig,
         else init_spatial(init_key, cfg)
     tx = make_optimizer(tcfg)
 
-    total_steps = max(1, round(tcfg.epoch_num * len(sd.train)
-                               // max(1, tcfg.batch_size)))
+    # KL-anneal horizon follows the *actual* epoch count (``epochs``
+    # overrides the config), matching total_steps semantics at
+    # train_encoder.py:171.
+    n_epochs = epochs if epochs is not None else tcfg.epoch_num
+    total_steps = max(1, (n_epochs * len(sd.train))
+                      // max(1, tcfg.batch_size))
     place_batch = None
     if mesh is not None:
         if cfg.variational:
@@ -150,7 +160,8 @@ def train(case: CaseConfig,
         from sea_tpu.parallel.train_step import \
             make_sharded_spatial_train_step
         sharded_step, params, opt_state, place_batch = \
-            make_sharded_spatial_train_step(mesh, cfg, tx, params)
+            make_sharded_spatial_train_step(
+                mesh, cfg, tx, params, compute_dtype=tcfg.compute_dtype)
 
         def train_step(params, opt_state, batch, rng, iteration):
             p, o, loss = sharded_step(params, opt_state, batch, rng)
@@ -161,12 +172,12 @@ def train(case: CaseConfig,
         train_step = make_train_step(cfg, tx,
                                      kl_weight_min=tcfg.kl_weight_min,
                                      kl_weight_max=tcfg.kl_weight_max,
-                                     total_steps=total_steps)
+                                     total_steps=total_steps,
+                                     compute_dtype=tcfg.compute_dtype)
     eval_step = make_eval_step(cfg, kl_weight_min=tcfg.kl_weight_min,
                                kl_weight_max=tcfg.kl_weight_max,
                                total_steps=total_steps)
 
-    n_epochs = epochs if epochs is not None else tcfg.epoch_num
     best_val = float("inf")
     best_params = params
     iteration = 0

@@ -163,7 +163,8 @@ def train(case: CaseConfig,
         from sea_tpu.parallel.train_step import \
             make_sharded_temporal_train_step
         train_step, params, opt_state, place_batch = \
-            make_sharded_temporal_train_step(mesh, cfg, tx, params)
+            make_sharded_temporal_train_step(
+                mesh, cfg, tx, params, compute_dtype=tcfg.compute_dtype)
     else:
         opt_state = tx.init(params)
         train_step = make_train_step(cfg, tx,

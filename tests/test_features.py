@@ -211,3 +211,35 @@ def test_bf16_train_step_converges():
     assert all(l.dtype == jnp.float32 for l in jax.tree.leaves(params)
                if hasattr(l, "dtype") and jnp.issubdtype(l.dtype,
                                                          jnp.floating))
+
+
+def test_variational_latent_service_returns_post_transformer_z():
+    """Regression (review finding): the frozen-encoder service must return
+    the post-transformer latent z, not the raw mu head output."""
+    import jax
+    from sea_tpu.data.latents import LatentService
+    from sea_tpu.models.spatial import init_spatial, spatial_encode
+    cfg = SpatialModelConfig(field_groups=((0, 1), (2,)), mlp_hidden=8,
+                             num_layers=1, embed_dim=4, n_heads=2,
+                             block_size=32, variational=True, n_inp=7)
+    params = init_spatial(jax.random.PRNGKey(0), cfg)
+    x = np.asarray(jax.random.normal(jax.random.PRNGKey(1), (3, 4, 3, 7)))
+    svc = LatentService(cfg, params)
+    got = svc.encode_dataset(x)
+    z, mu, _ = spatial_encode(params, cfg, x)  # deterministic: z from mu
+    np.testing.assert_allclose(got, np.asarray(z), atol=1e-6)
+    assert not np.allclose(got, np.asarray(mu).reshape(got.shape), atol=1e-3)
+
+
+def test_init_temporal_large_G_attention_mode():
+    """Regression (review finding): key pool must not exhaust at G >= 8
+    with attention ib-conditioning."""
+    import jax
+    from sea_tpu.models.temporal import init_temporal
+    cfg = TemporalModelConfig(num_layers=1, embed_dim=32, n_heads=2,
+                              block_size=16, scale_ratio=2, num_fields=8,
+                              down_proj=2, exchange_mode="sea",
+                              ib_scale_mode="mlp",
+                              ib_addition_mode="attention", ln_type="ln")
+    params = init_temporal(jax.random.PRNGKey(0), cfg)
+    assert len(params["blocks"][0]["cross_attn_ib"]) == 8

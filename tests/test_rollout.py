@@ -146,3 +146,20 @@ def test_pool_mode_rollout_uses_prefix_recompute():
     # And it must equal the oracle by construction.
     ref = rollout_prefix_recompute(params, cfg, x0, ib)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+
+def test_src_len_offset_dispatches_to_prefix_recompute():
+    """Regression (review finding): with src_len > 0 the tril diagonal
+    offset makes the model NON-causal (token p attends p+1..p+src_len), so
+    earlier tokens' states change as the prefix grows and KV caching cannot
+    reproduce prefix recompute. The dispatcher must fall back to the
+    oracle."""
+    cfg = _cfg(src_len=2)
+    params = init_temporal(jax.random.PRNGKey(20), cfg)
+    B, T = 2, 7
+    x0 = jax.random.normal(jax.random.PRNGKey(21),
+                           (B, cfg.num_fields, cfg.embed_dim))
+    ib = jax.random.normal(jax.random.PRNGKey(22), (B, T, cfg.ib_num))
+    ref = rollout_prefix_recompute(params, cfg, x0, ib)
+    got = rollout(params, cfg, x0, ib)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-6)
