@@ -66,3 +66,40 @@ def test_spatial_three_field_groups():
     out = spatial_forward(params, cfg, x)
     assert out.shape == x.shape
     assert len(params["encoders"]) == 3 and len(params["decoders"]) == 3
+
+
+def test_cli_loads_reference_pt_checkpoint(tmp_path):
+    """The CLI checkpoint loader must accept reference torch .pt state
+    dicts directly (user-migration path)."""
+    torch = pytest.importorskip("torch")
+    import os, sys
+    if not os.path.isdir("/root/reference"):
+        pytest.skip("reference unavailable")
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+    from models.temporal import TemporalModel
+    from sea_tpu.cli import _load_any_checkpoint
+    from sea_tpu.utils.torch_compat import (state_dict_to_numpy,
+                                            temporal_params_from_torch)
+
+    cfg = TemporalModelConfig(num_layers=1, embed_dim=16, n_heads=2,
+                              block_size=16, scale_ratio=2, num_fields=2,
+                              down_proj=2, exchange_mode="sea",
+                              ib_scale_mode="mlp", ib_addition_mode="add",
+                              ln_type="ln")
+    torch.manual_seed(0)
+    ref = TemporalModel(num_layers=1, embed_dim=16, n_heads=2, max_len=16,
+                        scale_ratio=2, src_len=0, num_variables=2,
+                        down_proj=2, dropout=0.0, exchange_mode="sea",
+                        pos_encoding_mode="learnable", ib_scale_mode="mlp",
+                        ib_addition_mode="add", ib_mlp_layers=1, ib_num=1,
+                        add_info_after_cross=True, LN_type="ln")
+    path = str(tmp_path / "ref.pt")
+    torch.save(ref.state_dict(), path)
+
+    loaded = _load_any_checkpoint(path, None, cfg, kind="temporal")
+    expected = temporal_params_from_torch(
+        state_dict_to_numpy(ref.state_dict()), cfg)
+    import jax
+    for a, b in zip(jax.tree.leaves(loaded), jax.tree.leaves(expected)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
