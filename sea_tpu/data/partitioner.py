@@ -72,7 +72,6 @@ def build_partition_index(coords: np.ndarray, m: int, n: int,
     coords = np.asarray(coords, dtype=np.float32)
     N, dim = coords.shape
     if dim == 2:
-        assert k is None or k is not None  # k unused in 2D
         xi = _bucketize(coords[:, 0], m)
         yi = _bucketize(coords[:, 1], n)
         patch_of_node = (xi - 1) * (n - 1) + (yi - 1)

@@ -405,7 +405,7 @@ def temporal_step(params, cfg: TemporalModelConfig, x_t, ib_t, cache, t):
                 x_vars[i] = _add_info_step(block, cfg, x_vars[i], ib_t, i)
 
         for i in range(G):
-            h = _norm_step(block["ln_exp"][i][0], x_vars[i], ib_t)
+            h = L.apply_norm(block["ln_exp"][i][0], x_vars[i], ib_t)
             out, nc["self"][i] = mha_step(block["self_attn"][i], h, h,
                                           lcache["self"][i], t,
                                           n_heads=cfg.n_heads, rope=True,
@@ -417,13 +417,13 @@ def temporal_step(params, cfg: TemporalModelConfig, x_t, ib_t, cache, t):
                 # x_vars[i] is constant until after the j loop: hoist the
                 # i-side down-projection + norm out of it.
                 x_i_down = L.linear(block["cross_down"][i], x_vars[i])
-                x_i_norm = _norm_step(block["ln_cross"][i], x_i_down, ib_t)
+                x_i_norm = L.apply_norm(block["ln_cross"][i], x_i_down, ib_t)
                 acc = None
                 for j in range(G):
                     if i == j:
                         continue
                     x_j_down = L.linear(block["cross_down"][j], x_vars[j])
-                    x_j_norm = _norm_step(block["ln_cross"][j], x_j_down, ib_t)
+                    x_j_norm = L.apply_norm(block["ln_cross"][j], x_j_down, ib_t)
                     attn, nc["cross"][i][j] = mha_step(
                         block["cross_attn"][i][j], x_i_norm, x_j_norm,
                         lcache["cross"][i][j], t, n_heads=cfg.n_heads,
@@ -435,7 +435,7 @@ def temporal_step(params, cfg: TemporalModelConfig, x_t, ib_t, cache, t):
         elif cfg.exchange_mode == "addition":
             down = [L.linear(block["cross_down"][i], x)
                     for i, x in enumerate(x_vars)]
-            normed = [_norm_step(block["ln_cross"][i], d, ib_t)
+            normed = [L.apply_norm(block["ln_cross"][i], d, ib_t)
                       for i, d in enumerate(down)]
             out = []
             for i in range(G):
@@ -450,21 +450,14 @@ def temporal_step(params, cfg: TemporalModelConfig, x_t, ib_t, cache, t):
                 x_vars[i] = _add_info_step(block, cfg, x_vars[i], ib_t, i)
 
         for i in range(G):
-            h = _norm_step(block["ln_exp"][i][2], x_vars[i], ib_t)
+            h = L.apply_norm(block["ln_exp"][i][2], x_vars[i], ib_t)
             x_vars[i] = x_vars[i] + L.mlp(block["mlp"][i], h)
             x_vars[i] = L.linear(block["proj"][i], x_vars[i])
         new_cache.append(nc)
 
-    x_vars = [_norm_step(params["ln_final"][i], x_vars[i], ib_t)
+    x_vars = [L.apply_norm(params["ln_final"][i], x_vars[i], ib_t)
               for i in range(G)]
     return jnp.stack(x_vars, axis=1), new_cache
-
-
-def _norm_step(norm_params, x_2d, ib_t):
-    """apply_norm for [B, D] token with [B, ib] cond."""
-    if "cond_fc1" in norm_params:
-        return L.adaln(norm_params, x_2d, ib_t)
-    return L.layernorm(norm_params, x_2d)
 
 
 def _add_info_step(block, cfg: TemporalModelConfig, x_2d, ib_t, var_idx):

@@ -10,6 +10,8 @@ provides the TPU-native parallelism layer the north star demands:
 - ``shard_batch`` / ``replicate``: NamedSharding placement helpers.
 - ``temporal_param_shardings`` / ``spatial_param_shardings``: TP partition
   specs for the model weights (heads=8 divides cleanly across model axis).
+  MLPs stay replicated: the reference MLP has LayerNorms between hidden
+  layers, so hidden-dim TP would force a re-gather at every LN.
 
 Multi-host: call jax.distributed.initialize() before make_mesh; the mesh
 then spans all processes' devices (DCN between slices, ICI within).
@@ -47,12 +49,6 @@ def replicate(mesh: Mesh, tree):
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
 
 
-def batch_spec(ndim: int, axis: int = 0) -> P:
-    spec = [None] * ndim
-    spec[axis] = "data"
-    return P(*spec)
-
-
 # ---------------------------------------------------------------------------
 # Tensor-parallel partition specs
 # ---------------------------------------------------------------------------
@@ -68,14 +64,6 @@ def _tp_attention_spec(p):
         "proj": {"w": P("model", None)},
     }
     return spec
-
-
-def _tp_mlp_spec(mlp_params):
-    """Reference MLP has LayerNorms between hidden layers, which need the
-    full hidden vector — so hidden-dim TP would force a regather at each LN.
-    Keep MLPs replicated (the LN placement is a reference architecture quirk
-    that limits TP here); attention TP is still worthwhile."""
-    return jax.tree.map(lambda _: P(), mlp_params)
 
 
 def temporal_param_shardings(mesh: Mesh, params):

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from sea_tpu.configs.base import SpatialModelConfig, TemporalModelConfig
-from sea_tpu.data.partitioner import PartitionIndex
+from sea_tpu.data.partitioner import PartitionIndex, unpatchify_jax
 from sea_tpu.models.spatial import spatial_decode
 from sea_tpu.rollout.engine import rollout_scan
 from sea_tpu.train import metrics as M
@@ -63,16 +63,6 @@ def make_e2e_rollout_eval(tcfg: TemporalModelConfig,
                 b[f] = scaler.min_val - lo * af
     a = jnp.asarray(a)
     b = jnp.asarray(b)
-    # Static scatter index for device-side unpatchify.
-    scatter_idx = jnp.asarray(
-        np.where(part.valid_mask, part.index_map, num_nodes).reshape(-1))
-
-    def unpatch(dec):  # [B*T, P, C, F] -> [B*T, N, F]
-        BT, _, _, F = dec.shape
-        flat = dec.reshape(BT, P * C, F)
-        out = jnp.zeros((BT, num_nodes + 1, F), dec.dtype)
-        out = out.at[:, scatter_idx, :].set(flat)
-        return out[:, :num_nodes, :]
 
     @jax.jit
     def run(tparams, sparams, x0, ib, truth):
@@ -84,7 +74,7 @@ def make_e2e_rollout_eval(tcfg: TemporalModelConfig,
             dec = dec.transpose(0, 1, 3, 2)  # -> [B*T, P, C, F]
         else:  # mixed
             dec = dec.reshape(B * T, P, C, dec.shape[2])
-        fields = unpatch(dec).reshape(B, T, num_nodes, -1)
+        fields = unpatchify_jax(part, dec).reshape(B, T, num_nodes, -1)
         fields = fields * a + b  # inverse min-max scaling (identity if off)
         rel = M.relative_mse_with_time(fields, truth, axis=2)  # [B,T,F]
         return fields, rel
