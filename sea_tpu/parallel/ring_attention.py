@@ -1,0 +1,103 @@
+"""Ring attention: sequence-parallel causal attention over a device mesh.
+
+The reference materializes full [T, T] attention with T <= 2024 on one
+device (SURVEY §5.7) — fine at SEA's scale, and our Pallas flash kernel
+already makes that O(T) in memory. This module is the documented growth
+path made real: when T outgrows one chip, shard the sequence over a 'seq'
+mesh axis and rotate key/value shards around the ring with
+``jax.lax.ppermute`` (XLA lowers it to ICI sends), accumulating
+online-softmax statistics exactly like flash attention — each device only
+ever holds T/n of the sequence.
+
+Semantics match ops.attention.attention_core (causal with the
+tril(diagonal=src_len) offset) and are verified against it on the virtual
+8-device mesh in tests/test_ring_attention.py.
+
+Layout: q, k, v are [B, T, H, hd] with T divisible by the ring size; the
+caller shards axis 1 over 'seq' (shard_map handles it here).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+
+def _block_attend(q, k, v, m, l, acc, q_off, k_off, *, scale, causal,
+                  src_len):
+    """One flash-style accumulation step of local q against one k/v block.
+
+    q: [B, Tq, H, hd]; k/v: [B, Tk, H, hd]; m/l: [B, H, Tq, 1] running
+    max / normalizer; acc: [B, Tq, H, hd] f32. Offsets are the blocks'
+    global sequence positions.
+    """
+    s = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                   preferred_element_type=jnp.float32) * scale
+    if causal:
+        Tq, Tk = q.shape[1], k.shape[1]
+        q_pos = q_off + jnp.arange(Tq)[:, None]
+        k_pos = k_off + jnp.arange(Tk)[None, :]
+        mask = k_pos <= q_pos + src_len
+        s = jnp.where(mask[None, None], s, -1e30)
+    m_cur = jnp.max(s, axis=-1, keepdims=True)  # [B,H,Tq,1]
+    m_new = jnp.maximum(m, m_cur)
+    alpha = jnp.exp(m - m_new)
+    p = jnp.exp(s - m_new)
+    l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    pv = jnp.einsum("bhqk,bkhd->bqhd", p.astype(v.dtype), v,
+                    preferred_element_type=jnp.float32)
+    # alpha is [B,H,Tq,1]; acc is [B,Tq,H,hd].
+    acc_new = acc * alpha.transpose(0, 2, 1, 3) + pv
+    return m_new, l_new, acc_new
+
+
+def ring_attention(q, k, v, mesh: Mesh, *, axis: str = "seq",
+                   causal: bool = True, src_len: int = 0):
+    """q, k, v: [B, T, H, hd] (replicated or already sharded on axis 1).
+
+    Returns [B, T, H, hd], sharded on axis 1 over ``axis``. Inside the
+    shard_map body every device starts with its own k/v shard and passes it
+    around the ring; after n_dev steps each q shard has attended to the
+    whole sequence with O(T/n) resident memory.
+    """
+    n_dev = mesh.shape[axis]
+    B, T, H, hd = q.shape
+    assert T % n_dev == 0, (T, n_dev)
+    scale = hd ** -0.5
+    spec = P(None, axis, None, None)
+
+    def body(q_loc, k_loc, v_loc):
+        idx = jax.lax.axis_index(axis)
+        Tl = q_loc.shape[1]
+        q_off = idx * Tl
+        # Mark the accumulators as device-varying over the ring axis (the
+        # scan body makes them depend on this device's q/k blocks).
+        m = jax.lax.pvary(jnp.full((B, H, Tl, 1), -1e30, jnp.float32), axis)
+        l = jax.lax.pvary(jnp.zeros((B, H, Tl, 1), jnp.float32), axis)
+        acc = jax.lax.pvary(jnp.zeros((B, Tl, H, hd), jnp.float32), axis)
+
+        def step(carry, s):
+            m, l, acc, k_cur, v_cur = carry
+            # k/v block currently held arrived from device (idx - s) mod n.
+            k_off = ((idx - s) % n_dev) * Tl
+            m, l, acc = _block_attend(q_loc, k_cur, v_cur, m, l, acc,
+                                      q_off, k_off, scale=scale,
+                                      causal=causal, src_len=src_len)
+            # Rotate k/v to the next device (receive from the left).
+            perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+            k_nxt = jax.lax.ppermute(k_cur, axis, perm)
+            v_nxt = jax.lax.ppermute(v_cur, axis, perm)
+            return (m, l, acc, k_nxt, v_nxt), None
+
+        (m, l, acc, _, _), _ = jax.lax.scan(
+            step, (m, l, acc, k_loc, v_loc), jnp.arange(n_dev))
+        l_safe = jnp.where(l == 0.0, 1.0, l)
+        out = acc / l_safe.transpose(0, 2, 1, 3)
+        return out.astype(q_loc.dtype)
+
+    shmapped = jax.shard_map(body, mesh=mesh,
+                             in_specs=(spec, spec, spec), out_specs=spec)
+    return shmapped(q, k, v)
