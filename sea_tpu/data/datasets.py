@@ -96,6 +96,11 @@ def make_temporal_windows(latents: np.ndarray, originals: np.ndarray,
     the trajectory for windows after the first; shifts are clamped to the
     valid range here.
     """
+    if overlap >= src_len:
+        raise ValueError(
+            f"dataset_overlap ({overlap}) must be < dataset_src_len "
+            f"({src_len}); the window stride src_len - overlap must be "
+            "positive (data_processors.py:397)")
     step = src_len - overlap
     tr, T = latents.shape[:2]
     srcs, tgts, origs, ibs = [], [], [], []

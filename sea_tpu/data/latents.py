@@ -28,8 +28,16 @@ class LatentService:
         self.cfg = cfg
         self.params = params
         self.batch_size = batch_size
-        self._encode = jax.jit(
-            lambda p, x: spatial_encode(p, cfg, apply_padding_mask(x)))
+        if cfg.variational:
+            # Deterministic post-transformer latent z (z = mu in eval mode),
+            # matching the reference ``z, _, _ = model.encode(data)``
+            # (data_processors.py:346-348). Built once: per-call lambdas
+            # would defeat jit's cache and recompile every call.
+            self._encode = jax.jit(
+                lambda p, x: spatial_encode(p, cfg, apply_padding_mask(x))[0])
+        else:
+            self._encode = jax.jit(
+                lambda p, x: spatial_encode(p, cfg, apply_padding_mask(x)))
         self._decode = jax.jit(lambda p, z: spatial_decode(p, cfg, z))
 
     def _batched(self, fn, data: np.ndarray) -> np.ndarray:
@@ -51,12 +59,7 @@ class LatentService:
         """[B, P, F, C] -> latents [B, P, G, D] (data_processors.py:335-352).
 
         Variational models return the deterministic post-transformer latent
-        z (spatial_encode uses z = mu in eval mode) — matching the reference
-        ``z, _, _ = model.encode(data)`` (data_processors.py:346-348)."""
-        if self.cfg.variational:
-            fn = jax.jit(lambda p, x: spatial_encode(
-                p, self.cfg, apply_padding_mask(x))[0])
-            return self._batched(fn, data)
+        z (spatial_encode uses z = mu in eval mode)."""
         return self._batched(self._encode, data)
 
     def decode_dataset(self, latents: np.ndarray) -> np.ndarray:

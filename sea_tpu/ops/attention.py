@@ -106,6 +106,11 @@ def mha(params, x_q, x_kv, *, n_heads: int, causal: bool, rope: bool,
 
     use_flash = False
     if impl == "flash":
+        if dropout_rate > 0.0 and not deterministic:
+            raise ValueError(
+                "impl='flash' cannot apply attention-probability dropout "
+                "(probs never materialize); use impl='auto'/'xla' for "
+                "dropout training")
         use_flash = True
     elif impl == "xla":
         use_flash = False

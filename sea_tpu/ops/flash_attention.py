@@ -188,22 +188,12 @@ def _round_up(x, m=128):
 
 
 # ---------------------------------------------------------------------------
-# custom_vjp wrapper: pallas forward, XLA-recompute backward
+# Reference oracle (tests) — the XLA attention path
 # ---------------------------------------------------------------------------
 
 def _xla_attention(q, k, v, *, causal: bool, src_len: int):
-    hd = q.shape[-1]
-    scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
-                        preferred_element_type=jnp.float32) * (hd ** -0.5)
-    if causal:
-        Tq, Tk = q.shape[1], k.shape[1]
-        mask = (jnp.arange(Tk)[None, :]
-                <= jnp.arange(Tq)[:, None] + src_len)
-        scores = jnp.where(mask[None, None], scores, float("-inf"))
-    probs = jax.nn.softmax(scores, axis=-1)
-    out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v.dtype), v,
-                     preferred_element_type=jnp.float32)
-    return out.astype(q.dtype)
+    from sea_tpu.ops.attention import attention_core
+    return attention_core(q, k, v, causal=causal, src_len=src_len)
 
 
 # ---------------------------------------------------------------------------

@@ -32,8 +32,14 @@ def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
     total = len(devices)
     if n_data is None:
         n_data = total // n_model
-    assert n_data * n_model <= total, (n_data, n_model, total)
-    arr = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
+    used = n_data * n_model
+    assert used <= total, (n_data, n_model, total)
+    if used < total:
+        import warnings
+        warnings.warn(f"mesh uses {used} of {total} devices "
+                      f"({total - used} idle); pick n_data/n_model to "
+                      "cover all devices", stacklevel=2)
+    arr = np.asarray(devices[:used]).reshape(n_data, n_model)
     return Mesh(arr, axis_names=("data", "model"))
 
 

@@ -18,20 +18,40 @@ from typing import Optional
 import jax
 
 
+_CLUSTER_ENV_VARS = ("COORDINATOR_ADDRESS", "JAX_COORDINATOR_ADDRESS",
+                     "MEGASCALE_COORDINATOR_ADDRESS")
+
+
+def _cluster_env_present() -> bool:
+    import os
+    if any(os.environ.get(v) for v in _CLUSTER_ENV_VARS):
+        return True
+    # TPU_WORKER_HOSTNAMES exists even on single-host TPU VMs; it only
+    # indicates a pod when it lists more than one host.
+    hosts = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+    return "," in hosts
+
+
 def initialize_multihost(coordinator_address: Optional[str] = None,
                          num_processes: Optional[int] = None,
                          process_id: Optional[int] = None) -> None:
     """jax.distributed.initialize wrapper; no-ops on single-process runs
     where no coordinator is configured (TPU pod environments auto-detect
-    all arguments)."""
+    all arguments).
+
+    Failures are only swallowed when nothing indicates a real cluster
+    (no explicit args, no coordinator env vars) — a transient init failure
+    on an actual pod must fail loudly, not silently split training into N
+    independent single-process jobs all claiming to be primary."""
     try:
         jax.distributed.initialize(coordinator_address=coordinator_address,
                                    num_processes=num_processes,
                                    process_id=process_id)
     except (ValueError, RuntimeError) as e:
-        if num_processes not in (None, 1):
+        explicit = any(a is not None for a in (coordinator_address,
+                                               num_processes, process_id))
+        if explicit or _cluster_env_present():
             raise
-        # Single process / no cluster env: proceed single-host.
         print(f"multihost init skipped ({e}); running single-process")
 
 

@@ -79,21 +79,36 @@ def ring_attention(q, k, v, mesh: Mesh, *, axis: str = "seq",
         l = jax.lax.pvary(jnp.zeros((B, H, Tl, 1), jnp.float32), axis)
         acc = jax.lax.pvary(jnp.zeros((B, Tl, H, hd), jnp.float32), axis)
 
+        def attend(args):
+            m, l, acc, k_cur, v_cur, k_off = args
+            return _block_attend(q_loc, k_cur, v_cur, m, l, acc, q_off,
+                                 k_off, scale=scale, causal=causal,
+                                 src_len=src_len)
+
+        # Attend the local block, then rotate n_dev-1 times (rotating after
+        # the final block would be a wasted ICI send of the full shard).
+        m, l, acc = attend((m, l, acc, k_loc, v_loc, q_off))
+        perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+
         def step(carry, s):
             m, l, acc, k_cur, v_cur = carry
-            # k/v block currently held arrived from device (idx - s) mod n.
+            k_cur = jax.lax.ppermute(k_cur, axis, perm)
+            v_cur = jax.lax.ppermute(v_cur, axis, perm)
+            # After s rotations this block originated at (idx - s) mod n.
             k_off = ((idx - s) % n_dev) * Tl
-            m, l, acc = _block_attend(q_loc, k_cur, v_cur, m, l, acc,
-                                      q_off, k_off, scale=scale,
-                                      causal=causal, src_len=src_len)
-            # Rotate k/v to the next device (receive from the left).
-            perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
-            k_nxt = jax.lax.ppermute(k_cur, axis, perm)
-            v_nxt = jax.lax.ppermute(v_cur, axis, perm)
-            return (m, l, acc, k_nxt, v_nxt), None
+            if causal:
+                # Skip blocks entirely above the offset diagonal.
+                pred = k_off <= q_off + Tl - 1 + src_len
+                m, l, acc = jax.lax.cond(
+                    pred, attend, lambda a: (a[0], a[1], a[2]),
+                    (m, l, acc, k_cur, v_cur, k_off))
+            else:
+                m, l, acc = attend((m, l, acc, k_cur, v_cur, k_off))
+            return (m, l, acc, k_cur, v_cur), None
 
-        (m, l, acc, _, _), _ = jax.lax.scan(
-            step, (m, l, acc, k_loc, v_loc), jnp.arange(n_dev))
+        if n_dev > 1:
+            (m, l, acc, _, _), _ = jax.lax.scan(
+                step, (m, l, acc, k_loc, v_loc), jnp.arange(1, n_dev))
         l_safe = jnp.where(l == 0.0, 1.0, l)
         out = acc / l_safe.transpose(0, 2, 1, 3)
         return out.astype(q_loc.dtype)

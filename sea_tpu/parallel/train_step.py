@@ -97,7 +97,16 @@ def make_sharded_spatial_train_step(mesh: Mesh, cfg: SpatialModelConfig,
 
 def make_sharded_rollout(mesh: Mesh, cfg: TemporalModelConfig, params):
     """Rollout with trajectories sharded over 'data' — each chip rolls out
-    its shard of trajectories; eval scales linearly over the mesh."""
+    its shard of trajectories; eval scales linearly over the mesh.
+
+    Only valid for scan-incremental configs (see rollout.engine.rollout);
+    other configs must use the prefix-recompute path."""
+    if (cfg.exchange_mode == "pool" or cfg.ib_addition_mode == "attention"
+            or cfg.src_len != 0):
+        raise ValueError(
+            "make_sharded_rollout requires a scan-incremental config "
+            "(no pool exchange, no attention ib-conditioning, src_len == 0);"
+            " use rollout.engine.rollout for the prefix-recompute fallback")
     pspec = temporal_param_shardings(mesh, params)
     placed_params = jax.device_put(params, pspec)
 
