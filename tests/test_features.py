@@ -243,3 +243,35 @@ def test_init_temporal_large_G_attention_mode():
                               ib_addition_mode="attention", ln_type="ln")
     params = init_temporal(jax.random.PRNGKey(0), cfg)
     assert len(params["blocks"][0]["cross_attn_ib"]) == 8
+
+
+def test_mixed_sea_layout_roundtrip_and_training():
+    """SEA_mixed layout (train_encoder.py:126-130): reshape without permute
+    — deliberate field/cell mixing. Round-trips and trains."""
+    import jax
+    from sea_tpu.data.datasets import apply_sea_layout, invert_sea_layout
+    rng = np.random.RandomState(0)
+    patched = rng.randn(4, 6, 5, 3).astype(np.float32)  # [B,P,C,F]
+    mixed = apply_sea_layout(patched, "mixed")
+    assert mixed.shape == (4, 6, 3, 5)
+    back = invert_sea_layout(mixed, "mixed")
+    np.testing.assert_array_equal(back, patched)
+    # isolate and mixed genuinely differ (permute vs reshape).
+    iso = apply_sea_layout(patched, "isolate")
+    assert not np.array_equal(mixed, iso)
+
+
+def test_linear_scheduler():
+    from sea_tpu.train.optim import make_optimizer
+    from sea_tpu.configs.base import TrainConfig
+    import jax, optax
+    tx = make_optimizer(TrainConfig(learning_rate=1e-3, scheduler="linear"),
+                        transition_steps=10)
+    params = {"w": jnp.ones((3,))}
+    state = tx.init(params)
+    g = {"w": jnp.ones((3,))}
+    # First update uses ~0.1x lr; after transition, ~1x.
+    u1, state = tx.update(g, state, params)
+    for _ in range(12):
+        u2, state = tx.update(g, state, params)
+    assert abs(float(u1["w"][0])) < abs(float(u2["w"][0]))
