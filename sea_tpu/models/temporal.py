@@ -155,12 +155,16 @@ def init_temporal(key, cfg: TemporalModelConfig, dtype=jnp.float32):
 # Forward (full sequence, teacher-forced training path)
 # ---------------------------------------------------------------------------
 
-def _ib_output(block, cfg: TemporalModelConfig, ib):
+def _ib_output(block, cfg: TemporalModelConfig, ib, *, dropout_key=None,
+               deterministic=True):
     if cfg.ib_scale_mode == "fourier":
         return L.gaussian_fourier(block["ib"], ib)
     if cfg.ib_scale_mode == "linear":
         return L.linear(block["ib"], ib)
-    return L.mlp(block["ib"], ib)
+    # The reference's ib MLP carries trailing dropout in training
+    # (temporal.py:109, base_blocks.py:42-47).
+    return L.mlp(block["ib"], ib, dropout_rate=cfg.dropout,
+                 dropout_key=dropout_key, deterministic=deterministic)
 
 
 def _add_info(block, cfg: TemporalModelConfig, x, ib, var_idx, *,
@@ -168,7 +172,10 @@ def _add_info(block, cfg: TemporalModelConfig, x, ib, var_idx, *,
     """temporal.py:111-120."""
     if cfg.ib_addition_mode == "none":
         return x
-    ib_out = _ib_output(block, cfg, ib)
+    ib_key = (jax.random.fold_in(dropout_key, 1)
+              if dropout_key is not None else None)
+    ib_out = _ib_output(block, cfg, ib, dropout_key=ib_key,
+                        deterministic=deterministic)
     if cfg.ib_addition_mode == "add":
         return x + ib_out
     if cfg.ib_addition_mode == "concat":
@@ -204,15 +211,15 @@ def _exchange(block, cfg: TemporalModelConfig, x_vars, ib, *, rng=None,
         # Sequential update (temporal.py:188-191): later i sees updated j<i.
         x_vars = list(x_vars)
         for i in range(G):
-            acc = None
+            acc = 0.0  # empty sum for G == 1, like the reference's sum()
             for j in range(G):
                 if i == j:
                     continue
                 dk = (jax.random.fold_in(rng, i * G + j)
                       if rng is not None and not deterministic else None)
-                term = _sea_pair(block, cfg, x_vars[i], x_vars[j], i, j, ib,
-                                 dropout_key=dk, deterministic=deterministic)
-                acc = term if acc is None else acc + term
+                acc = acc + _sea_pair(block, cfg, x_vars[i], x_vars[j], i,
+                                      j, ib, dropout_key=dk,
+                                      deterministic=deterministic)
             x_vars[i] = x_vars[i] + acc
         return x_vars
     if mode == "addition":
@@ -390,7 +397,6 @@ def temporal_step(params, cfg: TemporalModelConfig, x_t, ib_t, cache, t):
                                   "token mixes full streams; use the "
                                   "prefix-recompute fallback")
     G = cfg.num_fields
-    ib_seq = ib_t[:, None, :]  # [B,1,ib] for ops expecting a time axis
     x_vars = [x_t[:, i, :] for i in range(G)]
     new_cache = []
 
@@ -418,7 +424,7 @@ def temporal_step(params, cfg: TemporalModelConfig, x_t, ib_t, cache, t):
                 # i-side down-projection + norm out of it.
                 x_i_down = L.linear(block["cross_down"][i], x_vars[i])
                 x_i_norm = L.apply_norm(block["ln_cross"][i], x_i_down, ib_t)
-                acc = None
+                acc = 0.0  # empty sum for G == 1
                 for j in range(G):
                     if i == j:
                         continue
@@ -428,8 +434,7 @@ def temporal_step(params, cfg: TemporalModelConfig, x_t, ib_t, cache, t):
                         block["cross_attn"][i][j], x_i_norm, x_j_norm,
                         lcache["cross"][i][j], t, n_heads=cfg.n_heads,
                         rope=True, src_len=cfg.src_len)
-                    term = L.linear(block["cross_up"][i], L.gelu(attn))
-                    acc = term if acc is None else acc + term
+                    acc = acc + L.linear(block["cross_up"][i], L.gelu(attn))
                 # Sequential update, matching temporal.py:188-191.
                 x_vars[i] = x_vars[i] + acc
         elif cfg.exchange_mode == "addition":

@@ -61,10 +61,10 @@ def full_autoregressive_evaluation(params, case: CaseConfig, windows,
     ib = jnp.asarray(windows.ib)
     B, T = src.shape[0], src.shape[1]
 
-    preds = np.asarray(rollout(params, tcfg, src[:, 0], ib))  # [B,T,G,E]
-
-    encoded_rel_mse = float(np.mean(np.asarray(
-        M.relative_mse(jnp.asarray(preds), jnp.asarray(tgt)))))
+    preds_dev = rollout(params, tcfg, src[:, 0], ib)  # [B,T,G,E]
+    encoded_rel_mse = float(jnp.mean(
+        M.relative_mse(preds_dev, jnp.asarray(tgt))))
+    preds = np.asarray(preds_dev)
 
     # Decode through the frozen stage-1 model.
     P = case.mesh.num_patches
@@ -137,7 +137,8 @@ def test_encoder_decoder(spatial_params, case: CaseConfig, tokens,
     Mirror of test_encoder_decoder (train_utils.py:364-431).
     """
     cfg = spatial_cfg or case.spatial
-    svc = LatentService(cfg, spatial_params)
+    svc = LatentService(cfg, spatial_params,
+                        batch_size=case.run.spatial_batch_size)
     z = svc.encode_dataset(tokens)
     recon = svc.decode_dataset(z)
 
@@ -165,6 +166,15 @@ def test_encoder_decoder(spatial_params, case: CaseConfig, tokens,
                     save_dir, f"original_data_{idx}.png"))
                 plot_all_fields_2d(decoded_flat, coords[:, 0], coords[:, 1],
                                    int(idx), filename=os.path.join(
+                    save_dir, f"decoded_data_{idx}.png"))
+            else:
+                plot_all_fields_3d(original_flat, coords[:, 0], coords[:, 1],
+                                   coords[:, 2], int(idx),
+                                   filename=os.path.join(
+                    save_dir, f"original_data_{idx}.png"))
+                plot_all_fields_3d(decoded_flat, coords[:, 0], coords[:, 1],
+                                   coords[:, 2], int(idx),
+                                   filename=os.path.join(
                     save_dir, f"decoded_data_{idx}.png"))
 
     print(f"Test Loss before inverse scaling and unpatching: "

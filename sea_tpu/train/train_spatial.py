@@ -179,7 +179,10 @@ def train(case: CaseConfig,
                                total_steps=total_steps)
 
     best_val = float("inf")
-    best_params = params
+    # Copy before the first train step: donate_argnums invalidates
+    # the initial buffers, and best_params must survive a run where
+    # validation never improves.
+    best_params = jax.tree.map(np.asarray, params)
     iteration = 0
     start = time.time()
 
@@ -237,6 +240,7 @@ def train(case: CaseConfig,
                 save_checkpoint(case.run.save_dir, "encoder_decoder",
                                 case.run.case_name, case.run.run_name,
                                 best_params,
+                                opt_state=jax.tree.map(np.asarray, opt_state),
                                 meta={"epoch": epoch, "val_loss": best_val})
                 print("--- New Best Model Saved ---")
 

@@ -175,7 +175,10 @@ def train(case: CaseConfig,
     n_epochs = epochs if epochs is not None else tcfg.epoch_num
     best_val = float("inf")
     best_rollout = float("inf")
-    best_params = params
+    # Copy before the first train step: donate_argnums invalidates
+    # the initial buffers, and best_params must survive a run where
+    # validation never improves.
+    best_params = jax.tree.map(np.asarray, params)
     start = time.time()
 
     for epoch in range(1, n_epochs + 1):
@@ -249,6 +252,7 @@ def train(case: CaseConfig,
                 save_checkpoint(case.run.save_dir, "temporal",
                                 case.run.case_name, case.run.run_name,
                                 best_params,
+                                opt_state=jax.tree.map(np.asarray, opt_state),
                                 meta={"epoch": epoch, "val_loss": best_val})
                 print("--- New Best Model Saved ---")
 

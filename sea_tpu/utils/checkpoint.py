@@ -5,6 +5,9 @@ case/run name, never saves optimizer state, and "resume" restarts the
 optimizer fresh (SURVEY §5.4). Here checkpoints are orbax pytrees carrying
 params AND optimizer state plus step metadata — strictly more capable while
 keeping the same best-model-selection semantics in the training drivers.
+(--model_path resume currently restores params only — a fresh optimizer —
+matching the reference's resume semantics; restore_pytree can recover
+opt_state with a {"params": ..., "opt_state": ...} template when needed.)
 
 Checkpoint families mirror the reference naming:
 - encoder_decoder_{case}_{run}   (best val recon, train_encoder.py:300-306)

@@ -46,9 +46,15 @@ def verify_mesh_processor(mp: MeshProcessor, fields: np.ndarray, *,
     rng = np.random.RandomState(seed)
     T = fields.shape[0]
     idx = rng.choice(T, min(test_numbers, T), replace=False)
-    sample = fields[idx]
-    _, patched = mp.patchify_and_scale(sample, fit_scalers=bool(mp.scalers),
-                                       perform_initial_test=False)
+    sample = np.asarray(fields[idx], dtype=np.float32)
+    # Use the processor's CURRENT scaler state — refitting on the sample
+    # would corrupt the fitted min/max (in memory and the persisted .npz).
+    if mp.scalers and any(sc.min_val is None for sc in mp.scalers):
+        raise ValueError("verify_mesh_processor requires fitted scalers; "
+                         "run patchify_and_scale first")
+    from sea_tpu.data.partitioner import patchify as _patchify
+    scaled = mp._scale_fields(sample)
+    patched = _patchify(mp.partition, scaled)
     recon = mp.inverse_scale_and_unpatch(patched)
     diff = np.abs(recon - sample)
     result = {"max_diff": float(diff.max()), "mean_diff": float(diff.mean()),

@@ -275,3 +275,43 @@ def test_linear_scheduler():
     for _ in range(12):
         u2, state = tx.update(g, state, params)
     assert abs(float(u1["w"][0])) < abs(float(u2["w"][0]))
+
+
+def test_single_field_group_sea():
+    """Regression (review finding): G=1 SEA exchange must behave like the
+    reference's empty sum() — no crash, exchange is a no-op."""
+    import jax
+    from sea_tpu.models.temporal import init_temporal, temporal_forward
+    from sea_tpu.rollout.engine import rollout_scan
+    cfg = TemporalModelConfig(num_layers=1, embed_dim=16, n_heads=2,
+                              block_size=16, scale_ratio=2, num_fields=1,
+                              down_proj=2, exchange_mode="sea",
+                              ib_scale_mode="mlp", ib_addition_mode="add",
+                              ln_type="ln")
+    params = init_temporal(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 5, 1, 16))
+    ib = jax.random.normal(jax.random.PRNGKey(2), (2, 5, 1))
+    out = temporal_forward(params, cfg, x, ib)
+    assert out.shape == x.shape
+    roll = rollout_scan(params, cfg, x[:, 0], ib)
+    assert bool(jnp.isfinite(roll).all())
+
+
+def test_ib_mlp_dropout_active_in_training():
+    """Regression (review finding): the ib MLP must apply dropout in
+    training, matching the reference (temporal.py:109)."""
+    import jax
+    from sea_tpu.models.temporal import init_temporal, temporal_forward
+    cfg = TemporalModelConfig(num_layers=1, embed_dim=16, n_heads=2,
+                              block_size=16, scale_ratio=2, num_fields=2,
+                              down_proj=2, dropout=0.5, exchange_mode="simple",
+                              ib_scale_mode="mlp", ib_addition_mode="add",
+                              ln_type="ln")
+    params = init_temporal(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 4, 2, 16))
+    ib = jax.random.normal(jax.random.PRNGKey(2), (1, 4, 1))
+    a = temporal_forward(params, cfg, x, ib, rng=jax.random.PRNGKey(3),
+                         deterministic=False)
+    b = temporal_forward(params, cfg, x, ib, rng=jax.random.PRNGKey(4),
+                         deterministic=False)
+    assert not np.allclose(np.asarray(a), np.asarray(b))
