@@ -42,3 +42,28 @@ def test_ring_four_devices():
     ref = attention_core(q, q, q, causal=True, src_len=0)
     got = ring_attention(q, q, q, _seq_mesh(4), causal=True, src_len=0)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+@requires_8
+def test_ring_attention_gradients():
+    """shard_map + ppermute is differentiable; gradients must match the
+    single-device attention gradients."""
+    B, T, H, hd = 1, 32, 2, 8
+    key = jax.random.PRNGKey(5)
+    q = jax.random.normal(key, (B, T, H, hd))
+    k = jax.random.normal(jax.random.fold_in(key, 1), (B, T, H, hd))
+    v = jax.random.normal(jax.random.fold_in(key, 2), (B, T, H, hd))
+    mesh = _seq_mesh(4)
+
+    def loss_ring(q, k, v):
+        return jnp.sum(ring_attention(q, k, v, mesh, causal=True,
+                                      src_len=0) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(attention_core(q, k, v, causal=True, src_len=0) ** 2)
+
+    g_ring = jax.grad(loss_ring, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(g_ring, g_ref, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5,
+                                   err_msg=f"d{name}")
