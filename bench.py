@@ -36,15 +36,12 @@ DTYPE = os.environ.get("SEA_BENCH_DTYPE", "float32")
 
 
 def main():
-    from sea_tpu.configs.base import TemporalModelConfig
+    from sea_tpu.configs.multiphase_flow import get_case
     from sea_tpu.models.temporal import init_temporal
     from sea_tpu.rollout.engine import rollout_scan
 
-    cfg = TemporalModelConfig(
-        num_layers=1, embed_dim=2048, n_heads=8, block_size=2024,
-        scale_ratio=8, src_len=0, num_fields=2, down_proj=2, dropout=0.0,
-        exchange_mode="sea", ib_scale_mode="mlp", ib_addition_mode="add",
-        ib_mlp_layers=1, ib_num=1, add_info_after_cross=True, ln_type="ln")
+    # The actual multiphase preset — the bench measures what users run.
+    cfg = get_case().temporal
 
     params = init_temporal(jax.random.PRNGKey(0), cfg)
     if DTYPE == "bf16":

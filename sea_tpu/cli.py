@@ -23,7 +23,11 @@ import sys
 
 def get_case(flow_type: str):
     import importlib.util
-    if importlib.util.find_spec(f"sea_tpu.configs.{flow_type}") is None:
+    try:
+        spec = importlib.util.find_spec(f"sea_tpu.configs.{flow_type}")
+    except (ModuleNotFoundError, ValueError):
+        spec = None  # e.g. a dotted or otherwise malformed flow_type
+    if spec is None:
         print(f"Error: Unknown flow type '{flow_type}'. Make sure the "
               f"corresponding config module exists in sea_tpu.configs.")
         sys.exit(1)
@@ -86,20 +90,24 @@ def main(argv=None):
         from sea_tpu.train.train_spatial import train as train_spatial
         if args.mode == "train":
             init_params = None
+            precomputed = None
             if args.model_path:
                 import jax
                 from sea_tpu.train.train_spatial import process_data as _pd
-                sd0 = _pd(case, data=data)
+                # Preprocess once and hand the result to the driver —
+                # the checkpoint template needs the derived n_inp.
+                precomputed = _pd(case, data=data)
                 from sea_tpu.models.spatial import init_spatial
                 template = init_spatial(jax.random.PRNGKey(0),
-                                        sd0.spatial_cfg)
+                                        precomputed.spatial_cfg)
                 init_params = _load_any_checkpoint(
-                    args.model_path, template, sd0.spatial_cfg,
+                    args.model_path, template, precomputed.spatial_cfg,
                     kind="spatial")
                 print(f"Continuing training from model: {args.model_path}")
             params, sd = train_spatial(case, tracker, data=data,
                                        epochs=args.epochs,
-                                       init_params=init_params)
+                                       init_params=init_params,
+                                       precomputed=precomputed)
             if case.spatial_train.final_save:
                 from sea_tpu.utils.checkpoint import save_checkpoint
                 save_checkpoint(case.run.save_dir, "final_model_encoder",

@@ -179,8 +179,10 @@ class TrainConfig:
     dataset_src_len: int = 399
     dataset_overlap: int = 0
     dataset_time_shifting: bool = False
-    # Numerics: parameters/activations dtype for the hot path. The reference
-    # trains in f32; on TPU we default to bf16 compute with f32 params+loss.
+    # Numerics policy for the train-step hot path. Default float32 matches
+    # the reference exactly; "bfloat16" casts the big matmul weights to bf16
+    # inside the loss (f32 AdamW master params, f32 loss/softmax) for ~1.7x
+    # memory-bandwidth headroom on TPU — opt in per case.
     compute_dtype: str = "float32"  # "float32" | "bfloat16"
 
 

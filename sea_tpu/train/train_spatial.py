@@ -130,15 +130,19 @@ def train(case: CaseConfig,
           error_tracker: Optional[BaseErrorTracker] = None, *,
           data=None, seed: int = 0,
           epochs: Optional[int] = None,
-          init_params=None, mesh=None) -> Tuple[Any, SpatialData]:
+          init_params=None, mesh=None,
+          precomputed: Optional[SpatialData] = None
+          ) -> Tuple[Any, SpatialData]:
     """Returns (best params, data). ``epochs`` overrides the config (for
     quick end-to-end slices); ``init_params`` resumes from a checkpoint
     (reference load_pretrained, train_encoder.py:162-165); ``mesh`` runs
     the loop data-parallel over a device mesh (variational loss not
-    supported on the sharded path yet)."""
+    supported on the sharded path yet); ``precomputed`` skips
+    process_data when the caller already ran it (resume paths)."""
     tracker = error_tracker or NoOpErrorTracker()
     tcfg = case.spatial_train
-    sd = process_data(case, data=data)
+    sd = precomputed if precomputed is not None else process_data(case,
+                                                                  data=data)
     cfg = sd.spatial_cfg
 
     rng = jax.random.PRNGKey(seed)

@@ -8,27 +8,25 @@ bench.py (rollout stays the headline); run manually.
 """
 
 import json
+import os
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
 
 
 def main():
-    from sea_tpu.configs.base import TemporalModelConfig, TrainConfig
+    from sea_tpu.configs.base import TrainConfig
+    from sea_tpu.configs.multiphase_flow import get_case
     from sea_tpu.models.temporal import init_temporal
     from sea_tpu.train.optim import make_optimizer
     from sea_tpu.train.train_temporal import make_train_step
 
     B, T = 4, 199
-    cfg = TemporalModelConfig(
-        num_layers=1, embed_dim=2048, n_heads=8, block_size=2024,
-        scale_ratio=8, src_len=0, num_fields=2, down_proj=2, dropout=0.0,
-        exchange_mode="sea", ib_scale_mode="mlp", ib_addition_mode="add",
-        ln_type="ln")
+    cfg = get_case().temporal
     params = init_temporal(jax.random.PRNGKey(0), cfg)
     tx = make_optimizer(TrainConfig(learning_rate=8e-5))
     opt_state = tx.init(params)

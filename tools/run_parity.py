@@ -15,10 +15,11 @@ Usage:  python tools/run_parity.py   (CPU; prints a report, exits nonzero
 on any stage exceeding tolerance)
 """
 
+import os
 import sys
 
-sys.path.insert(0, "/root/repo")
-sys.path.insert(0, "/root/reference")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, "/root/reference")  # read-only mounted reference
 
 import jax
 
