@@ -72,13 +72,17 @@ def main(argv=None):
                                                     save_dir=args.save_dir))
     data = _load_data(case, args.synthetic)
     if data is not None:
-        # Synthetic trajectories are shorter than the configured window
-        # length; clamp dataset_src_len to T-1 so windowing stays valid.
-        T = data[0].shape[1]
+        # Synthetic data is smaller than the configured real datasets:
+        # clamp dataset_src_len to T-1 so windowing stays valid, and the
+        # batch size to the number of training trajectories so the train
+        # split yields at least one full batch (drop_remainder batching).
+        tr, T = data[0].shape[:2]
         tt = case.temporal_train
-        if tt.dataset_src_len >= T:
-            case = case.replace(temporal_train=dataclasses.replace(
-                tt, dataset_src_len=T - 1))
+        n_train = max(1, int(round(tr * case.temporal_split.train_fraction)))
+        case = case.replace(temporal_train=dataclasses.replace(
+            tt,
+            dataset_src_len=min(tt.dataset_src_len, T - 1),
+            batch_size=min(tt.batch_size, n_train)))
 
     from sea_tpu.train.tracking import create_error_tracker
     tracker = create_error_tracker(
