@@ -48,7 +48,7 @@ def test_ring_four_devices():
 def test_ring_attention_gradients():
     """shard_map + ppermute is differentiable; gradients must match the
     single-device attention gradients."""
-    B, T, H, hd = 1, 32, 2, 8
+    B, T, H, hd = 1, 16, 2, 8
     key = jax.random.PRNGKey(5)
     q = jax.random.normal(key, (B, T, H, hd))
     k = jax.random.normal(jax.random.fold_in(key, 1), (B, T, H, hd))

@@ -23,7 +23,7 @@ REFERENCE = "/root/reference"
 
 
 def _cfg(**kw):
-    base = dict(num_layers=2, embed_dim=24, n_heads=2, block_size=64,
+    base = dict(num_layers=2, embed_dim=16, n_heads=2, block_size=64,
                 scale_ratio=2, src_len=0, num_fields=2, down_proj=2,
                 dropout=0.0, exchange_mode="sea", ib_scale_mode="mlp",
                 ib_addition_mode="add", ib_mlp_layers=1, ib_num=1,
@@ -46,7 +46,7 @@ VARIANTS = [
 def test_scan_equals_prefix_recompute(variant):
     cfg = _cfg(**variant)
     params = init_temporal(jax.random.PRNGKey(0), cfg)
-    B, T = 2, 9
+    B, T = 2, 7
     key = jax.random.PRNGKey(1)
     x0 = jax.random.normal(key, (B, cfg.num_fields, cfg.embed_dim))
     ib = jax.random.normal(jax.random.fold_in(key, 1), (B, T, cfg.ib_num))
