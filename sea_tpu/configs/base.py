@@ -111,6 +111,10 @@ class TemporalModelConfig:
     add_info_after_cross: bool = True
     ln_type: str = "adaln"  # adaln | ln
     pool_update_method: str = "mlp"  # linear | mlp | pooling (pool mode only)
+    # Rematerialize each temporal block in the backward pass
+    # (jax.checkpoint): trades recompute FLOPs for activation memory on
+    # long-sequence training. Off by default (SEA-scale fits comfortably).
+    remat: bool = False
     # Fixed concat width for ib_addition_mode == 'concat' (temporal.py:40).
     ib_dim_concat: int = 64
 

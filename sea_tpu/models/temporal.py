@@ -340,11 +340,20 @@ def temporal_forward(params, cfg: TemporalModelConfig, x, ib, *, rng=None,
     G = cfg.num_fields
     assert x.shape[2] == G, (x.shape, G)
     x_vars = [x[:, :, i, :] for i in range(G)]
+    block_fn = temporal_block
+    if cfg.remat:
+        # Rematerialize block activations in the backward pass
+        # (jax.checkpoint) — O(sqrt)-style memory for deep/long-T training.
+        def block_fn(block, cfg, x_vars, ib, *, rng, deterministic):
+            f = jax.checkpoint(
+                lambda b, xs, c: temporal_block(b, cfg, xs, c, rng=rng,
+                                                deterministic=deterministic))
+            return f(block, x_vars, ib)
     for li, block in enumerate(params["blocks"]):
         brng = (jax.random.fold_in(rng, li)
                 if rng is not None and not deterministic else None)
-        x_vars = temporal_block(block, cfg, x_vars, ib, rng=brng,
-                                deterministic=deterministic)
+        x_vars = block_fn(block, cfg, x_vars, ib, rng=brng,
+                          deterministic=deterministic)
     x_vars = [L.apply_norm(params["ln_final"][i], x_vars[i], ib)
               for i in range(G)]
     return jnp.stack(x_vars, axis=2)

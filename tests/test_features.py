@@ -315,3 +315,27 @@ def test_ib_mlp_dropout_active_in_training():
     b = temporal_forward(params, cfg, x, ib, rng=jax.random.PRNGKey(4),
                          deterministic=False)
     assert not np.allclose(np.asarray(a), np.asarray(b))
+
+
+def test_remat_gradients_match():
+    """cfg.remat=True (jax.checkpoint per block) must not change gradients."""
+    import dataclasses
+    import jax
+    from sea_tpu.models.temporal import init_temporal, temporal_forward
+    cfg = TemporalModelConfig(num_layers=2, embed_dim=16, n_heads=2,
+                              block_size=16, scale_ratio=2, num_fields=2,
+                              down_proj=2, exchange_mode="sea",
+                              ib_scale_mode="mlp", ib_addition_mode="add",
+                              ln_type="adaln")
+    cfg_remat = dataclasses.replace(cfg, remat=True)
+    params = init_temporal(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 5, 2, 16))
+    ib = jax.random.normal(jax.random.PRNGKey(2), (2, 5, 1))
+
+    def loss(c):
+        return lambda p: jnp.sum(temporal_forward(p, c, x, ib) ** 2)
+
+    g1 = jax.grad(loss(cfg))(params)
+    g2 = jax.grad(loss(cfg_remat))(params)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
