@@ -64,9 +64,13 @@ def main():
     assert bool(jnp.isfinite(out).all()), "rollout produced non-finite values"
 
     t0 = time.perf_counter()
+    sink = 0.0
     for i in range(REPEATS):
-        run(params, x0s[i], ibs[i]).block_until_ready()
+        # Scalar readback forces a full device->host sync: on the tunneled
+        # backend block_until_ready alone has been observed to return early.
+        sink += float(run(params, x0s[i], ibs[i]).sum())
     elapsed = time.perf_counter() - t0
+    assert sink == sink, "rollout produced NaNs"
     steps_per_sec = STEPS * REPEATS / elapsed
 
     baseline_path = os.path.join(REPO, "BASELINE_MEASURED.json")
