@@ -29,7 +29,7 @@ sys.path.insert(0, REPO)
 STEPS = 250
 BATCH = 1
 REPEATS = 5
-# SEA_BENCH_DTYPE=bf16 runs with bf16 matmul weights (1385 vs 822 steps/s
+# SEA_BENCH_DTYPE=bf16 runs with bf16 matmul weights (1544 vs 878 steps/s
 # measured on v5e, ~1.6% latent deviation over 250 steps on random weights);
 # default f32 keeps the headline number quantization-free.
 DTYPE = os.environ.get("SEA_BENCH_DTYPE", "float32")
