@@ -33,7 +33,15 @@ def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
     if n_data is None:
         n_data = total // n_model
     used = n_data * n_model
-    assert used <= total, (n_data, n_model, total)
+    if used > total:
+        raise ValueError(
+            f"make_mesh(n_data={n_data}, n_model={n_model}) needs "
+            f"{used} devices but only {total} visible. On a single-chip "
+            "host, bootstrap virtual devices BEFORE JAX initializes: set "
+            "XLA_FLAGS=--xla_force_host_platform_device_count=<n> and call "
+            "jax.config.update('jax_platforms', 'cpu') before any device "
+            "access (see __graft_entry__.dryrun_multichip, which re-execs "
+            "itself in a subprocess to do exactly this).")
     if used < total:
         import warnings
         warnings.warn(f"mesh uses {used} of {total} devices "
