@@ -365,10 +365,11 @@ def temporal_forward(params, cfg: TemporalModelConfig, x, ib, *, rng=None,
 
 def init_temporal_cache(cfg: TemporalModelConfig, batch: int, t_max: int,
                         dtype=jnp.float32):
-    """Caches: per (layer, stream) self-attention + per (layer, ordered pair)
-    SEA cross-attention. Pool/addition/simple modes need no pair caches
-    (pool re-reads only the current pool token; addition/simple have no
-    attention in the exchange)."""
+    """Caches: per (layer, stream) self-attention, per (layer, ordered pair)
+    SEA cross-attention, and per (layer, stream) pool cross-attention (each
+    variable's cross_attn[i] has its own k/v projections over the shared
+    pool stream, so each needs its own cache). Addition/simple modes have no
+    attention in the exchange and need no extra caches."""
     G = cfg.num_fields
     hd_self = cfg.internal_embed_dim // cfg.n_heads
     hd_cross = cfg.down_dim // cfg.n_heads
@@ -383,6 +384,10 @@ def init_temporal_cache(cfg: TemporalModelConfig, batch: int, t_max: int,
                 [init_kv_cache(batch, t_max, cfg.n_heads, hd_cross, dtype)
                  if i != j else None for j in range(G)]
                 for i in range(G)]
+        elif cfg.exchange_mode == "pool":
+            entry["pool"] = [
+                init_kv_cache(batch, t_max, cfg.n_heads, hd_cross, dtype)
+                for _ in range(G)]
         layers.append(entry)
     return layers
 
@@ -398,13 +403,13 @@ def temporal_step(params, cfg: TemporalModelConfig, x_t, ib_t, cache, t):
     Returns (y_t [B, G, E], new_cache). Numerically equivalent to
     temporal_forward(x[:, :t+1])[:, t] with dropout off: every op outside
     attention is per-token, attention is causal, and RoPE/AdaLN use absolute
-    position/per-token cond. Only implemented for exchange modes whose
-    exchange is causal-incremental (sea / addition / simple).
+    position/per-token cond. Implemented for every causal-incremental
+    exchange mode (sea / pool / addition / simple): the pool token is
+    strictly per-token too — _update_pool_token (reference temporal.py:
+    244-251) pools/projects the per-token down-projections and fully
+    overwrites the broadcast pool token, and the pool cross-attention is
+    causal, so a pool KV cache per variable suffices.
     """
-    if cfg.exchange_mode == "pool":
-        raise NotImplementedError("pool-mode incremental rollout: the pool "
-                                  "token mixes full streams; use the "
-                                  "prefix-recompute fallback")
     G = cfg.num_fields
     x_vars = [x_t[:, i, :] for i in range(G)]
     new_cache = []
@@ -446,6 +451,9 @@ def temporal_step(params, cfg: TemporalModelConfig, x_t, ib_t, cache, t):
                     acc = acc + L.linear(block["cross_up"][i], L.gelu(attn))
                 # Sequential update, matching temporal.py:188-191.
                 x_vars[i] = x_vars[i] + acc
+        elif cfg.exchange_mode == "pool":
+            x_vars, nc["pool"] = _pool_exchange_step(
+                block, cfg, x_vars, ib_t, lcache["pool"], t)
         elif cfg.exchange_mode == "addition":
             down = [L.linear(block["cross_down"][i], x)
                     for i, x in enumerate(x_vars)]
@@ -472,6 +480,44 @@ def temporal_step(params, cfg: TemporalModelConfig, x_t, ib_t, cache, t):
     x_vars = [L.apply_norm(params["ln_final"][i], x_vars[i], ib_t)
               for i in range(G)]
     return jnp.stack(x_vars, axis=1), new_cache
+
+
+def _pool_exchange_step(block, cfg: TemporalModelConfig, x_vars, ib_t,
+                        pool_cache, t):
+    """Per-token pool exchange at absolute position t.
+
+    Mirrors _pool_exchange exactly: the learnable pool_token + ln_pool + PE
+    on it are DEAD computation in the reference (temporal.py:268-276 — the
+    broadcast token is fully overwritten by _update_pool_token), so the
+    incremental step skips them. normed gets the sinusoidal PE at its
+    absolute position (temporal.py:265); the pool stream value at position
+    t depends only on the per-token normed values at t.
+    """
+    G = cfg.num_fields
+    # [dd]; traced-index gather (asarray: converted checkpoints hold numpy,
+    # which cannot be indexed by a tracer).
+    pe_t = jnp.asarray(block["pool_pe"])[t]
+    down = [L.linear(block["cross_down"][i], x) for i, x in enumerate(x_vars)]
+    normed = [L.apply_norm(block["ln_cross"][i], d, ib_t) + pe_t
+              for i, d in enumerate(down)]
+    if cfg.pool_update_method == "pooling":
+        w = block["pool_update"].reshape(G, 1, 1)
+        pool = jnp.sum(jnp.stack(normed, axis=0) * w, axis=0)
+    elif cfg.pool_update_method == "linear":
+        pool = L.linear(block["pool_update"], jnp.concatenate(normed, -1))
+    else:  # mlp
+        h = L.linear(block["pool_update"]["fc1"], jnp.concatenate(normed, -1))
+        pool = L.linear(block["pool_update"]["fc2"], L.gelu(h))
+    out, new_caches = [], []
+    for i in range(G):
+        attn, c = mha_step(block["cross_attn"][i], normed[i], pool,
+                           pool_cache[i], t, n_heads=cfg.n_heads, rope=True,
+                           src_len=cfg.src_len)
+        combined = normed[i] + attn
+        out.append(x_vars[i] + L.linear(block["cross_up"][i],
+                                        L.gelu(combined)))
+        new_caches.append(c)
+    return out, new_caches
 
 
 def _add_info_step(block, cfg: TemporalModelConfig, x_2d, ib_t, var_idx):

@@ -66,8 +66,8 @@ def rollout_jit(params, cfg: TemporalModelConfig, x0, ib):
 def rollout_prefix_recompute(params, cfg: TemporalModelConfig, x0, ib):
     """Reference-fidelity rollout: re-run the full model on the growing
     prefix each step (train_utils.py:202-207). O(T^2) forward tokens; kept
-    as the equivalence oracle and as the fallback for exchange modes without
-    an incremental step (pool)."""
+    as the equivalence oracle and as the fallback for the non-causal
+    configurations listed in ``rollout``."""
     T = ib.shape[1]
     autoreg = x0[:, None]  # [B, 1, G, E]
     for i in range(T):
@@ -78,15 +78,16 @@ def rollout_prefix_recompute(params, cfg: TemporalModelConfig, x0, ib):
 
 def rollout(params, cfg: TemporalModelConfig, x0, ib):
     """Dispatch: scan engine when the model is incrementally computable,
-    prefix recompute otherwise. Not incrementally computable:
-    - pool exchange (the pool token mixes full streams),
+    prefix recompute otherwise. All four exchange modes (sea / pool /
+    addition / simple) are incremental — the pool token is per-token
+    (reference temporal.py:244-251) and its cross-attention causal. Not
+    incrementally computable:
     - attention-mode ib conditioning (unmasked attention over the ib stream),
     - src_len != 0 (the tril diagonal offset lets token p attend p+1..p+src_len,
       so the model is NOT causal and earlier tokens' states change as the
       prefix grows — prefix recompute is the defining semantics there; both
       shipped configs use src_len=0).
     """
-    if (cfg.exchange_mode == "pool" or cfg.ib_addition_mode == "attention"
-            or cfg.src_len != 0):
+    if cfg.ib_addition_mode == "attention" or cfg.src_len != 0:
         return rollout_prefix_recompute(params, cfg, x0, ib)
     return rollout_jit(params, cfg, x0, ib)

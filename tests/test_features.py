@@ -70,23 +70,24 @@ def test_pool_mode_forward_and_torch_parity():
     from sea_tpu.models.temporal import temporal_forward
     from sea_tpu.utils.torch_compat import (state_dict_to_numpy,
                                             temporal_params_from_torch)
-    # Pool mode in the reference crashes for T > 1 (the masked cross-attn
-    # reshapes the 1-token pool to T tokens, temporal.py:254 +
-    # base_blocks.py:272) — parity is only checkable at T == 1.
+    # Pool mode parity: the ln variant runs at T > 1 in the reference
+    # (only adaln crashes there — ln_pool broadcasts [B,1,dd] against a
+    # [B,T,ib] cond, temporal.py:268); check the full sequence AND the
+    # scan rollout against the reference prefix-recompute loop.
     cfg = TemporalModelConfig(num_layers=1, embed_dim=16, n_heads=2,
-                              block_size=8, scale_ratio=2, num_fields=2,
+                              block_size=16, scale_ratio=2, num_fields=2,
                               down_proj=2, dropout=0.0, exchange_mode="pool",
                               ib_scale_mode="mlp", ib_addition_mode="add",
                               ln_type="ln", pool_update_method="mlp")
     torch.manual_seed(1)
-    ref = TemporalModel(num_layers=1, embed_dim=16, n_heads=2, max_len=8,
+    ref = TemporalModel(num_layers=1, embed_dim=16, n_heads=2, max_len=16,
                         scale_ratio=2, src_len=0, num_variables=2,
                         down_proj=2, dropout=0.0, exchange_mode="pool",
                         pos_encoding_mode="learnable", ib_scale_mode="mlp",
                         ib_addition_mode="add", ib_mlp_layers=1, ib_num=1,
                         add_info_after_cross=True, LN_type="ln").eval()
-    x = torch.randn(2, 1, 2, 16)
-    ib = torch.randn(2, 1, 1)
+    x = torch.randn(2, 6, 2, 16)
+    ib = torch.randn(2, 6, 1)
     with torch.no_grad():
         out_ref = ref(x, ib).numpy()
     params = temporal_params_from_torch(state_dict_to_numpy(ref.state_dict()),
@@ -94,12 +95,21 @@ def test_pool_mode_forward_and_torch_parity():
     got = np.asarray(temporal_forward(params, cfg, jnp.asarray(x.numpy()),
                                       jnp.asarray(ib.numpy())))
     np.testing.assert_allclose(got, out_ref, atol=5e-5)
-    # And unlike the reference, our pool mode works for T > 1.
-    xT = jax.random.normal(jax.random.PRNGKey(2), (2, 6, 2, 16))
-    ibT = jax.random.normal(jax.random.PRNGKey(3), (2, 6, 1))
-    outT = temporal_forward(params, cfg, xT, ibT)
-    assert outT.shape == (2, 6, 2, 16)
-    assert bool(jnp.isfinite(outT).all())
+    # Scan rollout (pool KV cache) vs the reference's prefix-recompute loop
+    # (train_utils.py:202-207 semantics).
+    from sea_tpu.rollout.engine import rollout_scan
+    T = 5
+    data = torch.randn(2, T + 1, 2, 16)
+    ib_r = torch.randn(2, T, 1)
+    with torch.no_grad():
+        autoreg = data[:, 0:1]
+        for i in range(T):
+            out = ref(autoreg, ib_r[:, : i + 1])
+            autoreg = torch.cat((autoreg, out[:, -1:]), dim=1)
+        roll_ref = autoreg[:, 1:].numpy()
+    roll = rollout_scan(params, cfg, jnp.asarray(data[:, 0].numpy()),
+                        jnp.asarray(ib_r.numpy()))
+    np.testing.assert_allclose(np.asarray(roll), roll_ref, atol=5e-4)
 
 
 def test_time_shifted_windows():

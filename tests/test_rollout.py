@@ -39,6 +39,10 @@ VARIANTS = [
          ib_addition_mode="none"),
     dict(exchange_mode="simple", num_fields=3),
     dict(src_len=0, num_fields=3),  # G=3 exercises the 6-pair SEA lattice
+    dict(exchange_mode="pool", ln_type="ln", pool_update_method="mlp"),
+    dict(exchange_mode="pool", ln_type="ln", pool_update_method="pooling",
+         num_fields=3),
+    dict(exchange_mode="pool", ln_type="adaln", pool_update_method="linear"),
 ]
 
 
@@ -131,9 +135,10 @@ def test_rollout_dispatch_jit_compiles():
     assert bool(jnp.isfinite(out).all())
 
 
-def test_pool_mode_rollout_uses_prefix_recompute():
-    """Pool mode has no causal-incremental exchange; the dispatcher must
-    fall back to prefix recompute and still produce finite predictions."""
+def test_pool_mode_rollout_uses_scan():
+    """Pool mode IS causal-incremental (the pool token is per-token,
+    reference temporal.py:244-251): the dispatcher must route it through
+    the scan engine and match the prefix-recompute oracle."""
     cfg = _cfg(exchange_mode="pool", ln_type="ln",
                pool_update_method="mlp")
     params = init_temporal(jax.random.PRNGKey(7), cfg)
@@ -143,9 +148,10 @@ def test_pool_mode_rollout_uses_prefix_recompute():
     out = rollout(params, cfg, x0, ib)
     assert out.shape == (1, 4, cfg.num_fields, cfg.embed_dim)
     assert bool(jnp.isfinite(out).all())
-    # And it must equal the oracle by construction.
     ref = rollout_prefix_recompute(params, cfg, x0, ib)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
+    scan = rollout_scan(params, cfg, x0, ib)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(scan), atol=1e-6)
 
 
 def test_src_len_offset_dispatches_to_prefix_recompute():
