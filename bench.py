@@ -1,18 +1,28 @@
-"""Headline benchmark: north-star 250-step multiphase autoregressive rollout.
+"""Headline benchmark: north-star autoregressive rollouts on one chip.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
 
-- value: rollout steps/sec/chip of the scan+KV-cache engine on the default
-  JAX device (the driver runs this on a real TPU chip).
-- vs_baseline: value / (reference steps/sec from BASELINE_MEASURED.json,
-  the PyTorch reference's prefix-recompute rollout measured on this
-  machine's CPU — the reference targets CUDA, unavailable here; see
-  BASELINE.md). North-star target is >=10x.
+Headline (value / vs_baseline): the multiphase 250-step rollout in
+bf16-weights mode — weight-only bf16 casting (big matmul weights bf16;
+norms, biases, softmax statistics and loss f32). Justified on TRAINED
+round-1 demo weights by tools/measure_bf16_drift.py: decoded rel-MSE
+changes 0.04% (1.096432 -> 1.096845 over a 40-step decoded rollout),
+latent rel-L2 deviation 1.45% — far inside the 5% parity budget.
 
-Model: multiphase-flow temporal SEA at full size (E=2048, 1 layer, 8 heads,
-down_dim=1024, plain LN), batch 1, 250 steps — matching the reference
-measurement protocol in tools/measure_reference.py.
+Extras in the same JSON object: the f32 multiphase number, and the
+cylinder-case 399-step rollout (f32 + bf16w) vs its own measured baseline.
+
+vs_baseline: value / reference steps/sec from BASELINE_MEASURED.json (the
+PyTorch reference's prefix-recompute rollout measured on this machine's
+CPU — the reference targets CUDA, unavailable here; see BASELINE.md).
+North-star target is >=10x.
+
+Models are the actual shipped presets: multiphase temporal SEA (E=2048,
+1 layer, 8 heads, plain LN) and cylinder temporal SEA (E=1024, AdaLN),
+batch 1, matching the reference measurement protocol in
+tools/measure_reference.py (rollout loop: reference
+utils/train_utils.py:202-207).
 """
 
 import json
@@ -26,49 +36,42 @@ import jax.numpy as jnp
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
-STEPS = 250
 BATCH = 1
 REPEATS = 5
-# SEA_BENCH_DTYPE=bf16 runs with bf16 matmul weights (1544 vs 878 steps/s
-# measured on v5e, ~1.6% latent deviation over 250 steps on random weights);
-# default f32 keeps the headline number quantization-free.
-DTYPE = os.environ.get("SEA_BENCH_DTYPE", "float32")
+# Drift bound measured on trained weights (tools/measure_bf16_drift.py).
+BF16_DRIFT = {"decoded_rel_mse_rel_change": 0.000377,
+              "latent_rollout_rel_l2": 0.014533}
 
 
-def main():
-    from sea_tpu.configs.multiphase_flow import get_case
+def bench_rollout(cfg, steps, *, bf16: bool, key_base: int):
+    """Time REPEATS scan rollouts in ONE jit dispatch, return steps/sec.
+
+    All repeats run inside a single jitted lax.map with one scalar
+    readback: the tunneled TPU backend caches identical dispatches and
+    per-dispatch RTT would pollute per-call timings (so warm and timed
+    calls also use DIFFERENT input stacks).
+    """
     from sea_tpu.models.temporal import init_temporal
     from sea_tpu.rollout.engine import rollout_scan
-
-    # The actual multiphase preset — the bench measures what users run.
-    cfg = get_case().temporal
+    from sea_tpu.utils.precision import cast_weights_bf16
 
     params = init_temporal(jax.random.PRNGKey(0), cfg)
-    if DTYPE == "bf16":
-        from sea_tpu.utils.precision import cast_weights_bf16
+    if bf16:
         params = cast_weights_bf16(params)
-    key = jax.random.PRNGKey(1)
-    # Distinct inputs per repeat: the tunneled TPU backend caches identical
-    # dispatches, which would make repeated identical calls measure ~0.
+    key = jax.random.PRNGKey(key_base)
     x0s = [jax.random.normal(jax.random.fold_in(key, i),
                              (BATCH, cfg.num_fields, cfg.embed_dim))
            for i in range(REPEATS + 1)]
     ibs = [jax.random.normal(jax.random.fold_in(key, 100 + i),
-                             (BATCH, STEPS, cfg.ib_num))
+                             (BATCH, steps, cfg.ib_num))
            for i in range(REPEATS + 1)]
 
-    # All repeats inside ONE jit dispatch (lax.map over stacked inputs)
-    # with a single scalar readback: per-dispatch tunnel RTT would
-    # otherwise pollute the timing, and on the tunneled backend
-    # block_until_ready alone has been observed to return early.
     @jax.jit
     def run_many(p, x0_stack, ib_stack):
         outs = jax.lax.map(lambda xi: rollout_scan(p, cfg, xi[0], xi[1]),
                            (x0_stack, ib_stack))
-        return jnp.stack([o.sum() for o in [outs]])[0].sum()
+        return outs.sum()
 
-    # Warm and timed calls use DIFFERENT input stacks: the tunneled
-    # backend caches identical dispatches.
     warm_stack = (jnp.stack(x0s[1:]), jnp.stack(ibs[1:]))
     timed_stack = (jnp.stack(x0s[:REPEATS]), jnp.stack(ibs[:REPEATS]))
     sink = float(run_many(params, *warm_stack))  # compile + warm
@@ -76,23 +79,44 @@ def main():
     sink = float(run_many(params, *timed_stack))
     elapsed = time.perf_counter() - t0
     assert sink == sink, "rollout produced NaNs"
-    steps_per_sec = STEPS * REPEATS / elapsed
+    return steps * REPEATS / elapsed
+
+
+def main():
+    from sea_tpu.configs.cylinder_flow import get_case as cyl_case
+    from sea_tpu.configs.multiphase_flow import get_case as mp_case
+
+    mp_cfg = mp_case().temporal
+    cyl_cfg = cyl_case().temporal
+
+    mp_bf16 = bench_rollout(mp_cfg, 250, bf16=True, key_base=1)
+    mp_f32 = bench_rollout(mp_cfg, 250, bf16=False, key_base=2)
+    cyl_bf16 = bench_rollout(cyl_cfg, 399, bf16=True, key_base=3)
+    cyl_f32 = bench_rollout(cyl_cfg, 399, bf16=False, key_base=4)
 
     baseline_path = os.path.join(REPO, "BASELINE_MEASURED.json")
-    vs_baseline = None
+    mp_ref = cyl_ref = None
     if os.path.exists(baseline_path):
         with open(baseline_path) as fh:
             baseline = json.load(fh)
-        ref = baseline.get("multiphase_250step_steps_per_sec")
-        if ref:
-            vs_baseline = steps_per_sec / ref
+        mp_ref = baseline.get("multiphase_250step_steps_per_sec")
+        cyl_ref = baseline.get("cylinder_399step_steps_per_sec")
+
+    def ratio(v, ref):
+        return round(v / ref, 3) if ref else None
 
     print(json.dumps({
-        "metric": "multiphase_250step_rollout_steps_per_sec"
-                  + ("_bf16w" if DTYPE == "bf16" else ""),
-        "value": round(steps_per_sec, 3),
+        "metric": "multiphase_250step_rollout_steps_per_sec_bf16w",
+        "value": round(mp_bf16, 3),
         "unit": "steps/sec/chip",
-        "vs_baseline": round(vs_baseline, 3) if vs_baseline else None,
+        "vs_baseline": ratio(mp_bf16, mp_ref),
+        "multiphase_f32": round(mp_f32, 3),
+        "multiphase_f32_vs_baseline": ratio(mp_f32, mp_ref),
+        "cylinder_399step_bf16w": round(cyl_bf16, 3),
+        "cylinder_399step_bf16w_vs_baseline": ratio(cyl_bf16, cyl_ref),
+        "cylinder_399step_f32": round(cyl_f32, 3),
+        "cylinder_399step_f32_vs_baseline": ratio(cyl_f32, cyl_ref),
+        "bf16w_drift_on_trained_weights": BF16_DRIFT,
     }))
 
 

@@ -1,0 +1,100 @@
+"""Quantify bf16-weights drift on TRAINED cylinder weights.
+
+bench.py's headline uses weight-only bf16 casting (utils/precision.py:
+cast_weights_bf16 — big matmul weights in bf16, norms/biases/softmax/loss
+in f32). This tool justifies that headline by measuring the END metric the
+reference cares about (decoded relative MSE, utils/train_utils.py:124-150)
+with f32 weights vs bf16 weights on the round-1 demo's trained checkpoints,
+plus the latent-space rel-L2 deviation between the two rollouts.
+
+Usage:
+    python tools/measure_bf16_drift.py [--save_dir /tmp/qrun] [--cpu]
+
+Requires the round-1 demo checkpoints in --save_dir:
+    encoder_decoder_cylinder_flow_run1.npz, temporal_cylinder_flow_run1.npz
+Prints one JSON object with both decoded rel-MSE values, their relative
+difference, and the latent drift.
+"""
+
+import argparse
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--save_dir", default="/tmp/qrun")
+    ap.add_argument("--cpu", action="store_true", default=True)
+    args = ap.parse_args()
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import dataclasses
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sea_tpu.cli import get_case, _load_data
+    from sea_tpu.models.temporal import init_temporal
+    from sea_tpu.rollout.engine import rollout
+    from sea_tpu.train.evaluate import full_autoregressive_evaluation
+    from sea_tpu.train.train_temporal import process_data
+    from sea_tpu.utils.checkpoint import load_params
+    from sea_tpu.utils.precision import cast_weights_bf16
+
+    case = get_case("cylinder_flow")
+    case = case.replace(run=dataclasses.replace(case.run,
+                                                save_dir=args.save_dir))
+    data = _load_data(case, synthetic=True)
+    tr, T = data[0].shape[:2]
+    tt = case.temporal_train
+    n_train = max(1, int(round(tr * case.temporal_split.train_fraction)))
+    case = case.replace(temporal_train=dataclasses.replace(
+        tt, dataset_src_len=min(tt.dataset_src_len, T - 1),
+        batch_size=min(tt.batch_size, n_train)))
+
+    td = process_data(case, data=data)
+    template = init_temporal(jax.random.PRNGKey(0), case.temporal)
+    ckpt = os.path.join(args.save_dir,
+                        "temporal_cylinder_flow_run1.npz")
+    params = load_params(ckpt, template)
+
+    res_f32 = full_autoregressive_evaluation(
+        params, case, td.test, td.latent_service, td.mesh_processor,
+        save_artifacts=False)
+    params_bf16 = cast_weights_bf16(params)
+    res_bf16 = full_autoregressive_evaluation(
+        params_bf16, case, td.test, td.latent_service, td.mesh_processor,
+        save_artifacts=False)
+
+    # Latent drift: rel-L2 between the two rollouts themselves.
+    src = jnp.asarray(td.test.src)
+    ib = jnp.asarray(td.test.ib)
+    p32 = rollout(params, case.temporal, src[:, 0], ib)
+    p16 = rollout(params_bf16, case.temporal, src[:, 0], ib)
+    num = jnp.sqrt(jnp.sum((p32 - p16) ** 2))
+    den = jnp.sqrt(jnp.sum(p32 ** 2)) + 1e-8
+    latent_rel_l2 = float(num / den)
+
+    d32 = res_f32["decoded_rel_mse"]
+    d16 = res_bf16["decoded_rel_mse"]
+    print(json.dumps({
+        "rollout_steps": int(ib.shape[1]),
+        "test_trajectories": int(src.shape[0]),
+        "decoded_rel_mse_f32": round(d32, 6),
+        "decoded_rel_mse_bf16w": round(d16, 6),
+        "decoded_rel_mse_rel_change": round((d16 - d32) / (abs(d32) + 1e-12),
+                                            6),
+        "encoded_rel_mse_f32": round(res_f32["encoded_rel_mse"], 6),
+        "encoded_rel_mse_bf16w": round(res_bf16["encoded_rel_mse"], 6),
+        "latent_rollout_rel_l2_f32_vs_bf16w": round(latent_rel_l2, 6),
+    }))
+
+
+if __name__ == "__main__":
+    main()
