@@ -106,26 +106,33 @@ def mha(params, x_q, x_kv, *, n_heads: int, causal: bool, rope: bool,
 
     use_flash = False
     if impl == "flash":
-        if dropout_rate > 0.0 and not deterministic:
+        if dropout_rate > 0.0 and not deterministic and dropout_key is None:
             raise ValueError(
-                "impl='flash' cannot apply attention-probability dropout "
-                "(probs never materialize); use impl='auto'/'xla' for "
-                "dropout training")
+                "impl='flash' with attention-probability dropout needs a "
+                "dropout_key (the kernel seeds its in-kernel PRNG from it)")
         use_flash = True
     elif impl == "xla":
         use_flash = False
     elif impl == "auto":
         try:
             from sea_tpu.ops import flash_attention as _fa
-            use_flash = _fa.flash_supported(q, k, causal=causal,
-                                            dropout_rate=dropout_rate,
-                                            deterministic=deterministic)
+            use_flash = _fa.flash_supported(
+                q, k, causal=causal, dropout_rate=dropout_rate,
+                deterministic=deterministic,
+                has_dropout_key=dropout_key is not None)
         except ImportError:  # pragma: no cover
             use_flash = False
 
     if use_flash:
         from sea_tpu.ops import flash_attention as _fa
-        out = _fa.flash_attention(q, k, v, causal=causal, src_len=src_len)
+        if dropout_rate > 0.0 and not deterministic:
+            out = _fa.flash_attention(q, k, v, causal=causal,
+                                      src_len=src_len,
+                                      dropout_rate=dropout_rate,
+                                      dropout_seed=_key_to_seed(dropout_key))
+        else:
+            out = _fa.flash_attention(q, k, v, causal=causal,
+                                      src_len=src_len)
     else:
         out = attention_core(q, k, v, causal=causal, src_len=src_len,
                              dropout_rate=dropout_rate,
@@ -133,6 +140,14 @@ def mha(params, x_q, x_kv, *, n_heads: int, causal: bool, rope: bool,
                              deterministic=deterministic)
     out = out.reshape(B, Tq, C)
     return linear(params["proj"], out)
+
+
+def _key_to_seed(key):
+    """PRNGKey (typed or legacy uint32[2]) -> int32 seed words for the
+    Pallas kernel's counter PRNG."""
+    if jnp.issubdtype(key.dtype, jax.dtypes.prng_key):
+        key = jax.random.key_data(key)
+    return jax.lax.bitcast_convert_type(key, jnp.int32).reshape(-1)[:2]
 
 
 def mha_step(params, x_q_t, x_kv_t, cache, t, *, n_heads: int, rope: bool,

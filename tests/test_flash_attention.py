@@ -50,6 +50,58 @@ def test_flash_bf16():
                                np.asarray(ref, dtype=np.float32), atol=3e-2)
 
 
+def test_flash_dropout_matches_oracle():
+    """In-kernel dropout (counter-hash mask) fwd+bwd vs an XLA oracle fed
+    the EXTRACTED mask — exact math in interpret mode on CPU. Proves the
+    forward and both backward kernels regenerate the identical mask."""
+    from sea_tpu.ops.flash_attention import (_dropout_mask_dense,
+                                             _flash_backward,
+                                             _flash_forward)
+    B, T, H, hd = 1, 384, 2, 64
+    rate, causal, src_len = 0.1, True, 0
+    bq = bk = 128
+    q = _rand((B, T, H, hd), 10)
+    k = _rand((B, T, H, hd), 11)
+    v = _rand((B, T, H, hd), 12)
+    g = _rand((B, T, H, hd), 13)
+    seed = jnp.asarray([123, 456], jnp.int32)
+
+    mask = _dropout_mask_dense(B * H, T, T, seed, rate, block_q=bq,
+                               block_k=bk, interpret=True)
+
+    def oracle(q, k, v):
+        s = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                       preferred_element_type=jnp.float32) * hd ** -0.5
+        qi = jnp.arange(T)[:, None]
+        kj = jnp.arange(T)[None, :]
+        s = jnp.where((kj <= qi + src_len)[None, None], s, -1e30)
+        p = jax.nn.softmax(s, axis=-1) * mask.reshape(B, H, T, T)
+        return jnp.einsum("bhqk,bkhd->bqhd", p, v,
+                          preferred_element_type=jnp.float32)
+
+    ref, vjp = jax.vjp(oracle, q, k, v)
+    dq_ref, dk_ref, dv_ref = vjp(g)
+
+    out, lse = _flash_forward(q, k, v, causal=causal, src_len=src_len,
+                              block_q=bq, block_k=bk, interpret=True,
+                              return_lse=True, dropout_rate=rate, seed=seed)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+    dq, dk, dv = _flash_backward(q, k, v, out, lse, g, causal=causal,
+                                 src_len=src_len, block_q=bq, block_k=bk,
+                                 interpret=True, dropout_rate=rate,
+                                 seed=seed)
+    np.testing.assert_allclose(np.asarray(dq), np.asarray(dq_ref), atol=5e-5)
+    np.testing.assert_allclose(np.asarray(dk), np.asarray(dk_ref), atol=5e-5)
+    np.testing.assert_allclose(np.asarray(dv), np.asarray(dv_ref), atol=5e-5)
+
+    # Seed-dependence + keep-rate sanity of the extracted mask itself.
+    mask2 = _dropout_mask_dense(B * H, T, T, jnp.asarray([7, 8], jnp.int32),
+                                rate, block_q=bq, block_k=bk, interpret=True)
+    assert not np.array_equal(np.asarray(mask), np.asarray(mask2))
+    keep = float((np.asarray(mask) > 0).mean())
+    assert abs(keep - (1 - rate)) < 0.01, keep
+
+
 def test_flash_gradient_matches_xla():
     """Fused Pallas backward vs differentiating the XLA path (interpret)."""
     from sea_tpu.ops.flash_attention import _flash_backward, _flash_forward
