@@ -1,12 +1,25 @@
-"""Training-step throughput bench (temporal stage, multiphase scale).
+"""Training-step throughput bench (temporal stage) with MFU/roofline.
 
 Measures the jitted teacher-forced train step (fwd+bwd+AdamW) at the
-multiphase configuration (E=2048, T=199 windows, batch 4, dropout 0 ->
-flash attention eligible) on the default device, amortized over several
-steps per dispatch. Prints one JSON line. Not wired into the driver's
-bench.py (rollout stays the headline); run manually.
+shipped configurations on the default device:
+
+  --case multiphase   E=2048, T=199, dropout 0
+  --case cylinder     E=1024, T=399, dropout 0.1 (attention-prob dropout
+                      runs in the Pallas kernel via mha auto-dispatch)
+  --impl auto|xla     xla disables the flash kernel (A/B baseline)
+  --dtype f32|bf16    compute dtype policy for the step
+
+MFU/roofline: FLOPs and HBM bytes come from XLA's compiled cost analysis;
+achieved FLOP/s is reported against the v5e bf16 MXU peak (197 TFLOP/s)
+and bytes/s against HBM peak (819 GB/s). Pallas kernel internals are
+opaque to XLA's cost model, so for --impl auto the FLOPs are taken from
+the equivalent --impl xla compile (same math).
+
+Prints one JSON line. Not wired into the driver's bench.py (rollout stays
+the headline); run manually on the chip.
 """
 
+import argparse
 import json
 import os
 import sys
@@ -17,46 +30,98 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 
+V5E_PEAK_FLOPS = 197e12  # bf16 MXU peak, one v5e chip
+V5E_HBM_BPS = 819e9
 
-def main():
+
+def build(case_name, impl, dtype):
     from sea_tpu.configs.base import TrainConfig
-    from sea_tpu.configs.multiphase_flow import get_case
-    from sea_tpu.models.temporal import init_temporal
     from sea_tpu.train.optim import make_optimizer
     from sea_tpu.train.train_temporal import make_train_step
 
-    B, T = 4, 199
+    if case_name == "multiphase":
+        from sea_tpu.configs.multiphase_flow import get_case
+        B, T = 4, 199
+    else:
+        from sea_tpu.configs.cylinder_flow import get_case
+        B, T = 4, 399
     cfg = get_case().temporal
-    params = init_temporal(jax.random.PRNGKey(0), cfg)
     tx = make_optimizer(TrainConfig(learning_rate=8e-5))
+    step = make_train_step(cfg, tx,
+                           compute_dtype="bfloat16" if dtype == "bf16"
+                           else "float32")
+    return cfg, step, tx, B, T
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--case", choices=["multiphase", "cylinder"],
+                    default="multiphase")
+    ap.add_argument("--impl", choices=["auto", "xla"], default="auto")
+    ap.add_argument("--dtype", choices=["f32", "bf16"], default="f32")
+    args = ap.parse_args()
+
+    if args.impl == "xla":
+        import sea_tpu.ops.flash_attention as _fa
+        _fa.flash_supported = lambda *a, **k: False
+
+    from sea_tpu.models.temporal import init_temporal
+
+    cfg, step, tx, B, T = build(args.case, args.impl, args.dtype)
+    params = init_temporal(jax.random.PRNGKey(0), cfg)
     opt_state = tx.init(params)
-    step = make_train_step(cfg, tx)
 
     key = jax.random.PRNGKey(1)
-    src = jax.random.normal(key, (B, T, 2, cfg.embed_dim))
+    src = jax.random.normal(key, (B, T, cfg.num_fields, cfg.embed_dim))
     tgt = jax.random.normal(jax.random.fold_in(key, 1), src.shape)
     ib = jax.random.normal(jax.random.fold_in(key, 2), (B, T, cfg.ib_num))
 
-    # Compile + first step.
+    # Cost analysis from the compiled step (XLA view of the math). step is
+    # already jitted — lower() through it so this IS the compile the timed
+    # calls reuse (no duplicate compilation).
+    try:
+        compiled = step.lower(params, opt_state, src, tgt, ib,
+                              jax.random.PRNGKey(2)).compile()
+        ca = compiled.cost_analysis()
+        ca = ca[0] if isinstance(ca, list) else ca
+        flops = float(ca.get("flops", 0.0))
+        nbytes = float(ca.get("bytes accessed", 0.0))
+    except Exception:
+        flops = nbytes = 0.0
+
+    # Compile + first step. NOTE: on the tunneled backend
+    # block_until_ready returns early; a host readback (float()) is the
+    # only reliable sync. The final step's loss depends on all prior
+    # steps' params, so one readback fences the whole loop.
     params, opt_state, loss = step(params, opt_state, src, tgt, ib,
                                    jax.random.PRNGKey(2))
-    jax.block_until_ready(loss)
+    float(loss)
 
     n = 10
     t0 = time.perf_counter()
     for i in range(n):
         params, opt_state, loss = step(params, opt_state, src, tgt, ib,
                                        jax.random.fold_in(key, 10 + i))
-    jax.block_until_ready(loss)
+    float(loss)
     dt = (time.perf_counter() - t0) / n
 
-    tokens = B * T * 2  # windows x steps x streams
-    print(json.dumps({
-        "metric": "multiphase_temporal_train_step",
+    tokens = B * T * cfg.num_fields
+    out = {
+        "metric": f"{args.case}_temporal_train_step",
+        "impl": args.impl,
+        "dtype": args.dtype,
+        "B": B, "T": T,
         "ms_per_step": round(dt * 1000, 2),
         "tokens_per_sec": round(tokens / dt),
         "loss": float(loss),
-    }))
+    }
+    if flops:
+        out["model_tflops_per_step"] = round(flops / 1e12, 3)
+        out["achieved_tflops_per_sec"] = round(flops / dt / 1e12, 2)
+        out["mfu_vs_v5e_bf16_peak"] = round(flops / dt / V5E_PEAK_FLOPS, 4)
+        out["hbm_gb_per_step"] = round(nbytes / 1e9, 2)
+        out["hbm_util_vs_peak"] = round(nbytes / dt / V5E_HBM_BPS, 4)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
