@@ -57,8 +57,10 @@ def make_sharded_temporal_train_step(mesh: Mesh, cfg: TemporalModelConfig,
             return M.mse(out, tgt)
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = tx.update(grads, opt_state, params)
+        stats = {"loss": loss, "grad_norm": optax.global_norm(grads),
+                 "param_norm": optax.global_norm(params)}
         params = optax.apply_updates(params, updates)
-        return params, opt_state, loss
+        return params, opt_state, stats
 
     def place_batch(src, tgt, ib):
         return (shard_batch(mesh, jnp.asarray(src)),
@@ -70,24 +72,47 @@ def make_sharded_temporal_train_step(mesh: Mesh, cfg: TemporalModelConfig,
 
 def make_sharded_spatial_train_step(mesh: Mesh, cfg: SpatialModelConfig,
                                     tx, params, *,
-                                    compute_dtype: str = "float32"):
+                                    compute_dtype: str = "float32",
+                                    kl_weight_min: float = 0.0,
+                                    kl_weight_max: float = 0.0,
+                                    total_steps: int = 1):
+    """Signature-compatible with train_spatial.make_train_step: the jitted
+    step takes (params, opt_state, batch, rng, iteration) and returns the
+    same stats dict, so the training loop is identical on both paths.
+    Variational configs run the full Vloss (annealed KL) under SPMD — the
+    KL sum and the reparameterization noise are batch-local, so GSPMD only
+    inserts the usual gradient all-reduce."""
     pspec = spatial_param_shardings(mesh, params)
     placed_params, placed_opt = _place_state(mesh, params, pspec, tx)
     cast = compute_dtype == "bfloat16"
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def step(params, opt_state, batch, rng):
+    def step(params, opt_state, batch, rng, iteration):
         def loss_fn(p):
             if cast:
                 from sea_tpu.utils.precision import cast_weights_bf16
                 p = cast_weights_bf16(p)
+            if cfg.variational:
+                recon, mu, logvar = spatial_forward(p, cfg, batch, rng=rng,
+                                                    deterministic=False)
+                total, recon_loss, kl = M.vloss(
+                    batch, recon, mu, logvar, kl_weight_min=kl_weight_min,
+                    kl_weight_max=kl_weight_max, iteration=iteration,
+                    total_steps=total_steps)
+                return total, (recon, recon_loss, kl)
             recon = spatial_forward(p, cfg, batch, rng=rng,
                                     deterministic=False)
-            return M.mse(recon, batch)
-        loss, grads = jax.value_and_grad(loss_fn)(params)
+            loss = M.mse(recon, batch)
+            return loss, (recon, loss, jnp.zeros(()))
+        (loss, (recon, recon_loss, kl)), grads = \
+            jax.value_and_grad(loss_fn, has_aux=True)(params)
         updates, opt_state = tx.update(grads, opt_state, params)
+        stats = {"loss": loss, "recon_loss": recon_loss, "kl_loss": kl,
+                 "r2": M.r2(recon, batch),
+                 "grad_norm": optax.global_norm(grads),
+                 "param_norm": optax.global_norm(params)}
         params = optax.apply_updates(params, updates)
-        return params, opt_state, loss
+        return params, opt_state, stats
 
     def place_batch(batch):
         return shard_batch(mesh, jnp.asarray(batch))

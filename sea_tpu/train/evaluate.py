@@ -25,6 +25,7 @@ from sea_tpu.configs.base import CaseConfig
 from sea_tpu.data.datasets import invert_sea_layout
 from sea_tpu.data.latents import (LatentService, inverse_transform_latents)
 from sea_tpu.data.mesh import MeshProcessor
+from sea_tpu.parallel.multihost import is_primary
 from sea_tpu.rollout.engine import rollout
 from sea_tpu.train import metrics as M
 from sea_tpu.utils.plotting import (plot_all_fields_2d, plot_all_fields_3d,
@@ -81,7 +82,8 @@ def full_autoregressive_evaluation(params, case: CaseConfig, windows,
     per_time = rel.mean(axis=0)  # [T, F]
     decoded_rel_mse = float(per_time.mean())
 
-    if save_artifacts:
+    # Artifact writes happen on process 0 only (multi-host hygiene).
+    if save_artifacts and is_primary():
         save_dir = case.run.save_dir
         os.makedirs(save_dir, exist_ok=True)
         # Rollout CSV (train_utils.py:277-285).
@@ -153,7 +155,7 @@ def test_encoder_decoder(spatial_params, case: CaseConfig, tokens,
     rel = float(np.mean(np.asarray(M.relative_mse(
         jnp.asarray(decoded_flat), jnp.asarray(original_flat), axis=1))))
 
-    if save_artifacts:
+    if save_artifacts and is_primary():
         save_dir = case.run.save_dir
         os.makedirs(save_dir, exist_ok=True)
         rng = np.random.RandomState(case.spatial_split.random_seed)

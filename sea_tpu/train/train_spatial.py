@@ -30,6 +30,7 @@ from sea_tpu.data.datasets import apply_sea_layout, batch_iterator, \
 from sea_tpu.data.io import load_case_data
 from sea_tpu.data.mesh import MeshProcessor
 from sea_tpu.models.spatial import init_spatial, spatial_forward
+from sea_tpu.parallel.multihost import is_primary
 from sea_tpu.train import metrics as M
 from sea_tpu.train.optim import make_optimizer
 from sea_tpu.train.tracking import BaseErrorTracker, NoOpErrorTracker
@@ -100,10 +101,15 @@ def make_train_step(cfg: SpatialModelConfig, tx, *, kl_weight_min=0.0,
         (loss, (recon, recon_loss, kl)), grads = \
             jax.value_and_grad(loss_fn, has_aux=True)(params)
         updates, opt_state = tx.update(grads, opt_state, params)
+        # Observability (wandb.watch equivalent, train_utils.py:75-76):
+        # global grad/param norms computed inside the jitted step — one
+        # scalar readback, no per-tensor host traffic.
+        stats = {"loss": loss, "recon_loss": recon_loss, "kl_loss": kl,
+                 "grad_norm": optax.global_norm(grads),
+                 "param_norm": optax.global_norm(params)}
         params = optax.apply_updates(params, updates)
-        r2 = M.r2(recon, batch)
-        return params, opt_state, {"loss": loss, "recon_loss": recon_loss,
-                                   "kl_loss": kl, "r2": r2}
+        stats["r2"] = M.r2(recon, batch)
+        return params, opt_state, stats
     return step
 
 
@@ -159,18 +165,13 @@ def train(case: CaseConfig,
                       // max(1, tcfg.batch_size))
     place_batch = None
     if mesh is not None:
-        if cfg.variational:
-            raise NotImplementedError("variational loss on the sharded path")
         from sea_tpu.parallel.train_step import \
             make_sharded_spatial_train_step
-        sharded_step, params, opt_state, place_batch = \
+        train_step, params, opt_state, place_batch = \
             make_sharded_spatial_train_step(
-                mesh, cfg, tx, params, compute_dtype=tcfg.compute_dtype)
-
-        def train_step(params, opt_state, batch, rng, iteration):
-            p, o, loss = sharded_step(params, opt_state, batch, rng)
-            return p, o, {"loss": loss, "recon_loss": loss,
-                          "kl_loss": jnp.zeros(()), "r2": jnp.zeros(())}
+                mesh, cfg, tx, params, compute_dtype=tcfg.compute_dtype,
+                kl_weight_min=tcfg.kl_weight_min,
+                kl_weight_max=tcfg.kl_weight_max, total_steps=total_steps)
     else:
         opt_state = tx.init(params)
         train_step = make_train_step(cfg, tx,
@@ -191,7 +192,8 @@ def train(case: CaseConfig,
     start = time.time()
 
     for epoch in range(1, n_epochs + 1):
-        agg = {"loss": 0.0, "recon_loss": 0.0, "kl_loss": 0.0, "r2": 0.0}
+        agg = {"loss": 0.0, "recon_loss": 0.0, "kl_loss": 0.0, "r2": 0.0,
+               "grad_norm": 0.0, "param_norm": 0.0}
         nb = 0
         for (batch,) in batch_iterator([sd.train], tcfg.batch_size,
                                        shuffle=True,
@@ -211,7 +213,9 @@ def train(case: CaseConfig,
             raise ValueError("train split smaller than one batch")
         train_metrics = {"Loss": agg["loss"] / nb,
                          "Recon_Loss": agg["recon_loss"] / nb,
-                         "R2": agg["r2"] / nb}
+                         "R2": agg["r2"] / nb,
+                         "Grad_Norm": agg["grad_norm"] / nb,
+                         "Param_Norm": agg["param_norm"] / nb}
         if cfg.variational:
             train_metrics["KL_Loss"] = agg["kl_loss"] / nb
         tracker.record_error("train", epoch, train_metrics)
@@ -238,15 +242,18 @@ def train(case: CaseConfig,
                   f" | val Loss {val_metrics['Loss']:.8f}")
 
             # Best-val-recon checkpoint (train_encoder.py:299-308).
+            # Process 0 writes; params are replicated so it holds the
+            # full state (multi-host hygiene, parallel/multihost.py).
             if val_metrics["Recon_Loss"] < best_val:
                 best_val = val_metrics["Recon_Loss"]
                 best_params = jax.tree.map(lambda x: np.asarray(x), params)
-                save_checkpoint(case.run.save_dir, "encoder_decoder",
-                                case.run.case_name, case.run.run_name,
-                                best_params,
-                                opt_state=jax.tree.map(np.asarray, opt_state),
-                                meta={"epoch": epoch, "val_loss": best_val})
-                print("--- New Best Model Saved ---")
+                if is_primary():
+                    save_checkpoint(
+                        case.run.save_dir, "encoder_decoder",
+                        case.run.case_name, case.run.run_name, best_params,
+                        opt_state=jax.tree.map(np.asarray, opt_state),
+                        meta={"epoch": epoch, "val_loss": best_val})
+                    print("--- New Best Model Saved ---")
 
     print(f"Total training time: {time.time() - start:.2f} seconds")
     tracker.finish()

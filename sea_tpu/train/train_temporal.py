@@ -33,6 +33,7 @@ from sea_tpu.data.latents import (LatentService,
                                   transform_latents_to_temporal)
 from sea_tpu.data.mesh import MeshProcessor
 from sea_tpu.models.temporal import init_temporal, temporal_forward
+from sea_tpu.parallel.multihost import is_primary
 from sea_tpu.train import metrics as M
 from sea_tpu.train.evaluate import full_autoregressive_evaluation
 from sea_tpu.train.optim import make_optimizer
@@ -126,8 +127,12 @@ def make_train_step(cfg: TemporalModelConfig, tx, *,
             return M.mse(out, tgt)
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = tx.update(grads, opt_state, params)
+        # wandb.watch equivalent (train_utils.py:75-76): global grad/param
+        # norms inside the jitted step, one scalar readback per batch.
+        stats = {"loss": loss, "grad_norm": optax.global_norm(grads),
+                 "param_norm": optax.global_norm(params)}
         params = optax.apply_updates(params, updates)
-        return params, opt_state, loss
+        return params, opt_state, stats
     return step
 
 
@@ -189,7 +194,8 @@ def train(case: CaseConfig,
             train_windows = make_temporal_windows(
                 *td.train_raw, tcfg.dataset_src_len, tcfg.dataset_overlap,
                 time_shift_rng=shift_rng)
-        train_loss, nb = 0.0, 0
+        agg = {"loss": 0.0, "grad_norm": 0.0, "param_norm": 0.0}
+        nb = 0
         for src, tgt, _, ib in batch_iterator(
                 [train_windows.src, train_windows.tgt,
                  train_windows.tgt_original,
@@ -202,14 +208,17 @@ def train(case: CaseConfig,
             else:
                 src, tgt, ib = (jnp.asarray(src), jnp.asarray(tgt),
                                 jnp.asarray(ib))
-            params, opt_state, loss = train_step(
+            params, opt_state, stats = train_step(
                 params, opt_state, src, tgt, ib, step_key)
-            train_loss += float(loss)
+            for k in agg:
+                agg[k] += float(stats[k])
             nb += 1
         if nb == 0:
             raise ValueError("train split smaller than one batch")
-        train_loss /= nb
-        tracker.record_error("train", epoch, {"Loss": train_loss})
+        train_loss = agg["loss"] / nb
+        tracker.record_error("train", epoch, {
+            "Loss": train_loss, "Grad_Norm": agg["grad_norm"] / nb,
+            "Param_Norm": agg["param_norm"] / nb})
 
         if epoch % tcfg.validation_interval == 0 or epoch == n_epochs:
             val_loss, vb = 0.0, 0
@@ -235,12 +244,14 @@ def train(case: CaseConfig,
                     results["decoded_rel_mse"]
                 if results["decoded_rel_mse"] < best_rollout:
                     best_rollout = results["decoded_rel_mse"]
-                    save_checkpoint(case.run.save_dir, "temporal_Checkpoint",
-                                    case.run.case_name, case.run.run_name,
-                                    jax.tree.map(np.asarray, params),
-                                    meta={"epoch": epoch,
-                                          "decoded_rel_mse": best_rollout})
-                    print("--- Checkpoint Model Saved ---")
+                    if is_primary():
+                        save_checkpoint(
+                            case.run.save_dir, "temporal_Checkpoint",
+                            case.run.case_name, case.run.run_name,
+                            jax.tree.map(np.asarray, params),
+                            meta={"epoch": epoch,
+                                  "decoded_rel_mse": best_rollout})
+                        print("--- Checkpoint Model Saved ---")
 
             tracker.record_error("val", epoch, val_metrics)
             print(f"Epoch {epoch}/{n_epochs} train Loss {train_loss:.8f} | "
@@ -249,12 +260,13 @@ def train(case: CaseConfig,
             if val_loss < best_val:
                 best_val = val_loss
                 best_params = jax.tree.map(np.asarray, params)
-                save_checkpoint(case.run.save_dir, "temporal",
-                                case.run.case_name, case.run.run_name,
-                                best_params,
-                                opt_state=jax.tree.map(np.asarray, opt_state),
-                                meta={"epoch": epoch, "val_loss": best_val})
-                print("--- New Best Model Saved ---")
+                if is_primary():
+                    save_checkpoint(
+                        case.run.save_dir, "temporal",
+                        case.run.case_name, case.run.run_name, best_params,
+                        opt_state=jax.tree.map(np.asarray, opt_state),
+                        meta={"epoch": epoch, "val_loss": best_val})
+                    print("--- New Best Model Saved ---")
 
     print(f"Total training time: {time.time() - start:.2f} seconds")
     tracker.finish()

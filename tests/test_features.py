@@ -214,9 +214,10 @@ def test_bf16_train_step_converges():
     ib = jax.random.normal(jax.random.fold_in(key, 1), (2, 6, 1))
     losses = []
     for i in range(20):
-        params, opt, loss = step(params, opt, src, tgt, ib,
-                                 jax.random.fold_in(key, 10 + i))
-        losses.append(float(loss))
+        params, opt, stats = step(params, opt, src, tgt, ib,
+                                  jax.random.fold_in(key, 10 + i))
+        losses.append(float(stats["loss"]))
+        assert np.isfinite(float(stats["grad_norm"]))
     assert losses[-1] < losses[0] * 0.7, losses
     assert all(l.dtype == jnp.float32 for l in jax.tree.leaves(params)
                if hasattr(l, "dtype") and jnp.issubdtype(l.dtype,

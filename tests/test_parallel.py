@@ -52,18 +52,21 @@ def test_temporal_dp_tp_step_matches_single_device():
     # Single-device baseline.
     from sea_tpu.train.train_temporal import make_train_step
     step1 = make_train_step(cfg, tx)
-    p1, o1, loss1 = step1(jax.tree.map(jnp.copy, params), tx.init(params),
-                          src, tgt, ib, rng)
+    p1, o1, stats1 = step1(jax.tree.map(jnp.copy, params), tx.init(params),
+                           src, tgt, ib, rng)
 
     # 4-way data x 2-way model mesh.
     mesh = make_mesh(n_data=4, n_model=2)
     step8, pp, po, place = make_sharded_temporal_train_step(mesh, cfg, tx,
                                                             params)
     s_src, s_tgt, s_ib = place(src, tgt, ib)
-    p8, o8, loss8 = step8(pp, po, s_src, s_tgt, s_ib, rng)
+    p8, o8, stats8 = step8(pp, po, s_src, s_tgt, s_ib, rng)
 
     # Dropout=0 and identical data -> identical loss and updated params.
-    np.testing.assert_allclose(float(loss8), float(loss1), rtol=1e-5)
+    np.testing.assert_allclose(float(stats8["loss"]), float(stats1["loss"]),
+                               rtol=1e-5)
+    np.testing.assert_allclose(float(stats8["grad_norm"]),
+                               float(stats1["grad_norm"]), rtol=1e-4)
     for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p8)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
@@ -79,8 +82,40 @@ def test_spatial_dp_step_runs():
     step, pp, po, place = make_sharded_spatial_train_step(mesh, cfg, tx,
                                                           params)
     batch = jax.random.normal(jax.random.PRNGKey(1), (16, 4, 3, 9))
-    p, o, loss = step(pp, po, place(batch), jax.random.PRNGKey(2))
-    assert np.isfinite(float(loss))
+    p, o, stats = step(pp, po, place(batch), jax.random.PRNGKey(2),
+                       jnp.zeros(()))
+    assert np.isfinite(float(stats["loss"]))
+
+
+@requires_8
+def test_spatial_variational_sharded_matches_single_device():
+    """Vloss (annealed KL) under SPMD == single-device step exactly: the
+    reparameterization noise and KL are batch-local, so sharding only adds
+    the gradient all-reduce."""
+    cfg = SpatialModelConfig(field_groups=((0, 1), (2,)), mlp_hidden=16,
+                             num_layers=1, embed_dim=4, n_heads=2,
+                             block_size=64, dropout=0.0, n_inp=9,
+                             variational=True)
+    params = init_spatial(jax.random.PRNGKey(0), cfg)
+    tx = make_optimizer(TrainConfig(learning_rate=1e-3))
+    batch = jax.random.normal(jax.random.PRNGKey(1), (16, 4, 3, 9))
+    rng = jax.random.PRNGKey(2)
+    kl = dict(kl_weight_min=0.0, kl_weight_max=1e-4, total_steps=10)
+
+    from sea_tpu.train.train_spatial import make_train_step
+    step1 = make_train_step(cfg, tx, **kl)
+    p1, o1, s1 = step1(jax.tree.map(jnp.copy, params), tx.init(params),
+                       batch, rng, jnp.asarray(3))
+
+    mesh = make_mesh(n_data=8, n_model=1)
+    step8, pp, po, place = make_sharded_spatial_train_step(mesh, cfg, tx,
+                                                           params, **kl)
+    p8, o8, s8 = step8(pp, po, place(batch), rng, jnp.asarray(3))
+
+    for k in ("loss", "recon_loss", "kl_loss", "grad_norm"):
+        np.testing.assert_allclose(float(s8[k]), float(s1[k]), rtol=1e-4)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p8)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
 @requires_8

@@ -65,9 +65,33 @@ def test_two_stage_training_e2e(tmp_path, synth):
     assert os.path.exists(
         os.path.join(tmp_path, "temporal_Checkpoint_cylinder_flow_run1.npz"))
 
-    # Metrics CSV recorded both phases.
+    # Metrics CSV recorded both phases, incl. grad/param observability
+    # (the wandb.watch equivalent).
     rows = open(os.path.join(tmp_path, "e2e_metrics.csv")).read()
     assert "train" in rows and "val" in rows
+    assert "Grad_Norm" in rows and "Param_Norm" in rows
+
+
+def test_non_primary_process_writes_nothing(tmp_path, synth, monkeypatch):
+    """Multi-host hygiene: on a non-primary process the training drivers
+    train (metrics still flow) but write no checkpoints or eval artifacts —
+    only process 0 touches the filesystem."""
+    import sea_tpu.train.evaluate as ev
+    import sea_tpu.train.train_spatial as ts
+    import sea_tpu.train.train_temporal as tt
+    monkeypatch.setattr(ts, "is_primary", lambda: False)
+    monkeypatch.setattr(tt, "is_primary", lambda: False)
+    monkeypatch.setattr(ev, "is_primary", lambda: False)
+
+    case = tiny_case(tmp_path)
+    sparams, _ = ts.train(case, data=synth, epochs=1)
+    tparams, _ = tt.train(case, data=synth, spatial_params=sparams, epochs=2)
+    assert tparams is not None
+    # Only the scaler fit by MeshProcessor (data prep, every process needs
+    # it) may exist; no checkpoints, CSVs, or plots.
+    leftover = [f for f in os.listdir(tmp_path)
+                if not f.startswith("scaler")]
+    assert leftover == [], leftover
 
 
 def test_spatial_eval_flow(tmp_path, synth):

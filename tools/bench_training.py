@@ -93,16 +93,16 @@ def main():
     # block_until_ready returns early; a host readback (float()) is the
     # only reliable sync. The final step's loss depends on all prior
     # steps' params, so one readback fences the whole loop.
-    params, opt_state, loss = step(params, opt_state, src, tgt, ib,
-                                   jax.random.PRNGKey(2))
-    float(loss)
+    params, opt_state, stats = step(params, opt_state, src, tgt, ib,
+                                    jax.random.PRNGKey(2))
+    float(stats["loss"])
 
     n = 10
     t0 = time.perf_counter()
     for i in range(n):
-        params, opt_state, loss = step(params, opt_state, src, tgt, ib,
-                                       jax.random.fold_in(key, 10 + i))
-    float(loss)
+        params, opt_state, stats = step(params, opt_state, src, tgt, ib,
+                                        jax.random.fold_in(key, 10 + i))
+    float(stats["loss"])
     dt = (time.perf_counter() - t0) / n
 
     tokens = B * T * cfg.num_fields
