@@ -143,3 +143,23 @@ def batch_iterator(arrays: Sequence[np.ndarray], batch_size: int, *,
     for start in range(0, end, batch_size):
         sel = idx[start:start + batch_size]
         yield tuple(a[sel] for a in arrays)
+
+
+def padded_batch_iterator(arrays: Sequence[np.ndarray], batch_size: int
+                          ) -> Iterator[Tuple[Tuple[np.ndarray, ...], int]]:
+    """Yield ((batch, ...), n_valid) with EVERY batch padded to batch_size
+    (tail padded by repeating its last row), so a jitted eval step sees one
+    static shape — one XLA compilation per eval loop instead of one per
+    distinct tail size. Consumers mask out the padded rows via n_valid."""
+    n = len(arrays[0])
+    for a in arrays:
+        assert len(a) == n
+    for start in range(0, n, batch_size):
+        end = min(start + batch_size, n)
+        batch = [a[start:end] for a in arrays]
+        k = end - start
+        if k < batch_size:
+            batch = [np.concatenate(
+                [b, np.repeat(b[-1:], batch_size - k, axis=0)], axis=0)
+                for b in batch]
+        yield tuple(batch), k

@@ -41,6 +41,39 @@ def r2(pred, truth):
     return 1.0 - residual / total
 
 
+def _sample_mask(n_valid, batch: int):
+    return (jnp.arange(batch) < n_valid).astype(jnp.float32)
+
+
+def masked_mse(pred, truth, n_valid):
+    """MSE over the first n_valid samples of a padded batch (leading axis =
+    batch). n_valid is traced, so one compilation covers every tail size."""
+    w = _sample_mask(n_valid, pred.shape[0])
+    per_sample = jnp.mean((pred - truth) ** 2,
+                          axis=tuple(range(1, pred.ndim)))
+    return jnp.sum(per_sample * w) / jnp.sum(w)
+
+
+def masked_r2(pred, truth, n_valid):
+    """Flattened R^2 restricted to the valid rows of a padded batch."""
+    w = _sample_mask(n_valid, pred.shape[0])
+    shape = (pred.shape[0],) + (1,) * (pred.ndim - 1)
+    wfull = w.reshape(shape)
+    per_item = jnp.prod(jnp.asarray(truth.shape[1:]))
+    count = jnp.sum(w) * per_item
+    mean_truth = jnp.sum(truth * wfull) / count
+    residual = jnp.sum(wfull * (pred - truth) ** 2)
+    total = jnp.sum(wfull * (truth - mean_truth) ** 2)
+    return 1.0 - residual / total
+
+
+def masked_kl(mu, logvar, n_valid):
+    """Vloss KL (summed, train_utils.py:26) over valid rows only."""
+    w = _sample_mask(n_valid, mu.shape[0]).reshape(
+        (mu.shape[0],) + (1,) * (mu.ndim - 1))
+    return -0.5 * jnp.sum(w * (1 + logvar - mu ** 2 - jnp.exp(logvar)))
+
+
 def vloss(x, recon, mu, logvar, *, kl_weight_min: float, kl_weight_max: float,
           iteration, total_steps: int):
     """Returns (total, recon_loss, kl_loss). KL weight anneals linearly from

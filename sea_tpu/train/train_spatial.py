@@ -26,7 +26,7 @@ import optax
 
 from sea_tpu.configs.base import CaseConfig, SpatialModelConfig
 from sea_tpu.data.datasets import apply_sea_layout, batch_iterator, \
-    split_indices
+    padded_batch_iterator, split_indices
 from sea_tpu.data.io import load_case_data
 from sea_tpu.data.mesh import MeshProcessor
 from sea_tpu.models.spatial import init_spatial, spatial_forward
@@ -115,20 +115,24 @@ def make_train_step(cfg: SpatialModelConfig, tx, *, kl_weight_min=0.0,
 
 def make_eval_step(cfg: SpatialModelConfig, *, kl_weight_min=0.0,
                    kl_weight_max=0.0, total_steps: int = 1):
+    """Eval batches arrive padded to a fixed size with ``n_valid`` real
+    rows (data/datasets.padded_batch_iterator): the masked metrics ignore
+    the padding, and jit compiles exactly once per eval loop."""
     @jax.jit
-    def step(params, batch, iteration):
+    def step(params, batch, n_valid, iteration):
         if cfg.variational:
             recon, mu, logvar = spatial_forward(params, cfg, batch)
-            total, recon_loss, kl = M.vloss(
-                batch, recon, mu, logvar, kl_weight_min=kl_weight_min,
-                kl_weight_max=kl_weight_max, iteration=iteration,
-                total_steps=total_steps)
+            kl_weight = kl_weight_min + (kl_weight_max - kl_weight_min) * (
+                iteration / total_steps)
+            recon_loss = M.masked_mse(recon, batch, n_valid)
+            kl = M.masked_kl(mu, logvar, n_valid)
+            total = recon_loss + kl_weight * kl
         else:
             recon = spatial_forward(params, cfg, batch)
-            total = recon_loss = M.mse(recon, batch)
+            total = recon_loss = M.masked_mse(recon, batch, n_valid)
             kl = jnp.zeros(())
         return {"loss": total, "recon_loss": recon_loss, "kl_loss": kl,
-                "r2": M.r2(recon, batch)}
+                "r2": M.masked_r2(recon, batch, n_valid)}
     return step
 
 
@@ -224,9 +228,10 @@ def train(case: CaseConfig,
             vagg = {"loss": 0.0, "recon_loss": 0.0, "kl_loss": 0.0,
                     "r2": 0.0}
             vb = 0
-            for (batch,) in batch_iterator([sd.val], tcfg.batch_size,
-                                           shuffle=False):
+            for (batch,), n_valid in padded_batch_iterator(
+                    [sd.val], tcfg.batch_size):
                 stats = eval_step(params, jnp.asarray(batch),
+                                  jnp.asarray(n_valid),
                                   jnp.asarray(iteration))
                 for k in vagg:
                     vagg[k] += float(stats[k])

@@ -27,7 +27,7 @@ import optax
 from sea_tpu.configs.base import CaseConfig, TemporalModelConfig
 from sea_tpu.data.datasets import (TemporalWindows, apply_sea_layout,
                                    batch_iterator, make_temporal_windows,
-                                   split_indices)
+                                   padded_batch_iterator, split_indices)
 from sea_tpu.data.io import load_case_data
 from sea_tpu.data.latents import (LatentService,
                                   transform_latents_to_temporal)
@@ -137,10 +137,12 @@ def make_train_step(cfg: TemporalModelConfig, tx, *,
 
 
 def make_eval_step(cfg: TemporalModelConfig):
+    """Batches arrive padded to a fixed size with ``n_valid`` real rows
+    (padded_batch_iterator) — one jit compilation per eval loop."""
     @jax.jit
-    def step(params, src, tgt, ib):
+    def step(params, src, tgt, ib, n_valid):
         out = temporal_forward(params, cfg, src, ib)
-        return M.mse(out, tgt)
+        return M.masked_mse(out, tgt, n_valid)
     return step
 
 
@@ -222,12 +224,13 @@ def train(case: CaseConfig,
 
         if epoch % tcfg.validation_interval == 0 or epoch == n_epochs:
             val_loss, vb = 0.0, 0
-            for src, tgt, _, ib in batch_iterator(
-                    [td.val.src, td.val.tgt, td.val.tgt_original, td.val.ib],
-                    tcfg.eval_batch_size, shuffle=False):
+            for (src, tgt, ib), n_valid in padded_batch_iterator(
+                    [td.val.src, td.val.tgt, td.val.ib],
+                    tcfg.eval_batch_size):
                 val_loss += float(eval_step(params, jnp.asarray(src),
                                             jnp.asarray(tgt),
-                                            jnp.asarray(ib)))
+                                            jnp.asarray(ib),
+                                            jnp.asarray(n_valid)))
                 vb += 1
             val_loss /= max(vb, 1)
             val_metrics = {"Loss": val_loss}

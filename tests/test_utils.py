@@ -43,3 +43,62 @@ def test_cast_weights_bf16_selectivity():
     assert out["small"].dtype == jnp.float32
     assert out["bias"].dtype == jnp.float32
     assert out["idx"].dtype == jnp.int32
+
+
+def test_masked_metrics_match_unmasked_on_full_batch():
+    from sea_tpu.train import metrics as M
+    key = jax.random.PRNGKey(0)
+    pred = jax.random.normal(key, (4, 3, 5))
+    truth = jax.random.normal(jax.random.fold_in(key, 1), (4, 3, 5))
+    np.testing.assert_allclose(float(M.masked_mse(pred, truth, 4)),
+                               float(M.mse(pred, truth)), rtol=1e-6)
+    np.testing.assert_allclose(float(M.masked_r2(pred, truth, 4)),
+                               float(M.r2(pred, truth)), rtol=1e-5)
+    # Masked over k rows == plain over the k-row slice (padding ignored).
+    np.testing.assert_allclose(float(M.masked_mse(pred, truth, 3)),
+                               float(M.mse(pred[:3], truth[:3])), rtol=1e-6)
+    np.testing.assert_allclose(float(M.masked_r2(pred, truth, 3)),
+                               float(M.r2(pred[:3], truth[:3])), rtol=1e-5)
+    mu = jax.random.normal(jax.random.fold_in(key, 2), (4, 2))
+    lv = jax.random.normal(jax.random.fold_in(key, 3), (4, 2))
+    ref_kl = -0.5 * float(jnp.sum(1 + lv[:3] - mu[:3] ** 2 - jnp.exp(lv[:3])))
+    np.testing.assert_allclose(float(M.masked_kl(mu, lv, 3)), ref_kl,
+                               rtol=1e-5)
+
+
+def test_eval_compiles_once_on_ragged_split():
+    """A ragged val split (7 windows, batch 4) drives the padded eval loop
+    through ONE XLA compilation; the masked loss equals the exact per-window
+    average."""
+    from sea_tpu.configs.base import TemporalModelConfig
+    from sea_tpu.data.datasets import padded_batch_iterator
+    from sea_tpu.models.temporal import init_temporal, temporal_forward
+    from sea_tpu.train.train_temporal import make_eval_step
+
+    cfg = TemporalModelConfig(num_layers=1, embed_dim=16, n_heads=2,
+                              block_size=32, scale_ratio=2, num_fields=2,
+                              down_proj=2, dropout=0.0, exchange_mode="sea",
+                              ib_scale_mode="mlp", ib_addition_mode="add",
+                              ln_type="adaln")
+    params = init_temporal(jax.random.PRNGKey(0), cfg)
+    key = jax.random.PRNGKey(1)
+    n, T = 7, 5
+    src = np.asarray(jax.random.normal(key, (n, T, 2, 16)))
+    tgt = np.asarray(jax.random.normal(jax.random.fold_in(key, 1),
+                                       (n, T, 2, 16)))
+    ib = np.asarray(jax.random.normal(jax.random.fold_in(key, 2),
+                                      (n, T, cfg.ib_num)))
+
+    step = make_eval_step(cfg)
+    losses, counts = [], []
+    for (s, t, b), k in padded_batch_iterator([src, tgt, ib], 4):
+        losses.append(float(step(params, jnp.asarray(s), jnp.asarray(t),
+                                 jnp.asarray(b), jnp.asarray(k))))
+        counts.append(k)
+    assert counts == [4, 3]
+    assert step._cache_size() == 1, step._cache_size()
+
+    out = temporal_forward(params, cfg, jnp.asarray(src), jnp.asarray(ib))
+    per = np.mean((np.asarray(out) - tgt) ** 2, axis=(1, 2, 3))
+    np.testing.assert_allclose(losses[0], per[:4].mean(), rtol=1e-5)
+    np.testing.assert_allclose(losses[1], per[4:].mean(), rtol=1e-5)
