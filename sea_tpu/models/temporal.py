@@ -168,7 +168,7 @@ def _ib_output(block, cfg: TemporalModelConfig, ib, *, dropout_key=None,
 
 
 def _add_info(block, cfg: TemporalModelConfig, x, ib, var_idx, *,
-              dropout_key=None, deterministic=True):
+              dropout_key=None, deterministic=True, attn_kw={}):
     """temporal.py:111-120."""
     if cfg.ib_addition_mode == "none":
         return x
@@ -184,11 +184,11 @@ def _add_info(block, cfg: TemporalModelConfig, x, ib, var_idx, *,
     return x + mha(block["cross_attn_ib"][var_idx], x, ib_out,
                    n_heads=cfg.n_heads, causal=False, rope=False,
                    dropout_rate=cfg.dropout, dropout_key=dropout_key,
-                   deterministic=deterministic)
+                   deterministic=deterministic, **attn_kw)
 
 
 def _sea_pair(block, cfg, x_i, x_j, i, j, ib, *, dropout_key=None,
-              deterministic=True):
+              deterministic=True, attn_kw={}):
     """_apply_cross_attention (temporal.py:176-185)."""
     x_i_down = L.linear(block["cross_down"][i], x_i)
     x_j_down = L.linear(block["cross_down"][j], x_j)
@@ -197,12 +197,13 @@ def _sea_pair(block, cfg, x_i, x_j, i, j, ib, *, dropout_key=None,
     attn = mha(block["cross_attn"][i][j], x_i_norm, x_j_norm,
                n_heads=cfg.n_heads, causal=True, rope=True,
                src_len=cfg.src_len, dropout_rate=cfg.dropout,
-               dropout_key=dropout_key, deterministic=deterministic)
+               dropout_key=dropout_key, deterministic=deterministic,
+               **attn_kw)
     return L.linear(block["cross_up"][i], L.gelu(attn))
 
 
 def _exchange(block, cfg: TemporalModelConfig, x_vars, ib, *, rng=None,
-              deterministic=True):
+              deterministic=True, attn_kw={}):
     G = cfg.num_fields
     mode = cfg.exchange_mode
     if mode == "simple":
@@ -219,7 +220,8 @@ def _exchange(block, cfg: TemporalModelConfig, x_vars, ib, *, rng=None,
                       if rng is not None and not deterministic else None)
                 acc = acc + _sea_pair(block, cfg, x_vars[i], x_vars[j], i,
                                       j, ib, dropout_key=dk,
-                                      deterministic=deterministic)
+                                      deterministic=deterministic,
+                                      attn_kw=attn_kw)
             x_vars[i] = x_vars[i] + acc
         return x_vars
     if mode == "addition":
@@ -237,12 +239,12 @@ def _exchange(block, cfg: TemporalModelConfig, x_vars, ib, *, rng=None,
         return out
     if mode == "pool":
         return _pool_exchange(block, cfg, x_vars, ib, rng=rng,
-                              deterministic=deterministic)
+                              deterministic=deterministic, attn_kw=attn_kw)
     raise ValueError(mode)
 
 
 def _pool_exchange(block, cfg: TemporalModelConfig, x_vars, ib, *, rng=None,
-                   deterministic=True):
+                   deterministic=True, attn_kw={}):
     """SEAPoolBlockTemporal._apply_exchange (temporal.py:257-283).
 
     The pool token is a single learnable token expanded to [B, 1, dd]; each
@@ -280,7 +282,8 @@ def _pool_exchange(block, cfg: TemporalModelConfig, x_vars, ib, *, rng=None,
         attn = mha(block["cross_attn"][i], normed[i], pool,
                    n_heads=cfg.n_heads, causal=True, rope=True,
                    src_len=cfg.src_len, dropout_rate=cfg.dropout,
-                   dropout_key=None, deterministic=deterministic)
+                   dropout_key=None, deterministic=deterministic,
+                   **attn_kw)
         combined = normed[i] + attn
         out.append(x_vars[i]
                    + L.linear(block["cross_up"][i], L.gelu(combined)))
@@ -288,7 +291,7 @@ def _pool_exchange(block, cfg: TemporalModelConfig, x_vars, ib, *, rng=None,
 
 
 def temporal_block(block, cfg: TemporalModelConfig, x_vars, ib, *, rng=None,
-                   deterministic=True):
+                   deterministic=True, attn_kw={}):
     """BaseBlockTemporal.forward (temporal.py:126-148)."""
     G = cfg.num_fields
     x_vars = list(x_vars)
@@ -300,7 +303,8 @@ def temporal_block(block, cfg: TemporalModelConfig, x_vars, ib, *, rng=None,
             dk = (jax.random.fold_in(rngs[0], i) if rngs[0] is not None
                   else None)
             x_vars[i] = _add_info(block, cfg, x_vars[i], ib, i,
-                                  dropout_key=dk, deterministic=deterministic)
+                                  dropout_key=dk, deterministic=deterministic,
+                                  attn_kw=attn_kw)
 
     for i in range(G):
         dk = jax.random.fold_in(rngs[1], i) if rngs[1] is not None else None
@@ -309,17 +313,18 @@ def temporal_block(block, cfg: TemporalModelConfig, x_vars, ib, *, rng=None,
                                     n_heads=cfg.n_heads, causal=True,
                                     rope=True, src_len=cfg.src_len,
                                     dropout_rate=cfg.dropout, dropout_key=dk,
-                                    deterministic=deterministic)
+                                    deterministic=deterministic, **attn_kw)
 
     x_vars = _exchange(block, cfg, x_vars, ib, rng=rngs[2],
-                       deterministic=deterministic)
+                       deterministic=deterministic, attn_kw=attn_kw)
 
     if cfg.add_info_after_cross:
         for i in range(G):
             dk = (jax.random.fold_in(rngs[0], i) if rngs[0] is not None
                   else None)
             x_vars[i] = _add_info(block, cfg, x_vars[i], ib, i,
-                                  dropout_key=dk, deterministic=deterministic)
+                                  dropout_key=dk, deterministic=deterministic,
+                                  attn_kw=attn_kw)
 
     for i in range(G):
         dk = jax.random.fold_in(rngs[3], i) if rngs[3] is not None else None
@@ -333,27 +338,40 @@ def temporal_block(block, cfg: TemporalModelConfig, x_vars, ib, *, rng=None,
 
 
 def temporal_forward(params, cfg: TemporalModelConfig, x, ib, *, rng=None,
-                     deterministic: bool = True):
+                     deterministic: bool = True, seq_mesh=None,
+                     seq_axis: str = "seq"):
     """x: [B, T, G, E], ib: [B, T, ib_num] -> [B, T, G, E].
 
-    TemporalModel.forward (temporal.py:405-416)."""
+    TemporalModel.forward (temporal.py:405-416).
+
+    ``seq_mesh``: optional jax.sharding.Mesh with a ``seq_axis`` axis —
+    runs EVERY attention over T (self, SEA exchange, pool, ib) as ring
+    attention (parallel/ring_attention.py): the sequence is sharded across
+    devices and k/v shards rotate over ICI, so T can outgrow a single
+    chip's memory. Requires T divisible by the ring size and dropout=0.0
+    for training. Everything between attentions is elementwise over T, so
+    GSPMD keeps those sharded with zero extra collectives."""
     G = cfg.num_fields
     assert x.shape[2] == G, (x.shape, G)
+    attn_kw = ({"impl": "ring", "mesh": seq_mesh, "seq_axis": seq_axis}
+               if seq_mesh is not None else {})
     x_vars = [x[:, :, i, :] for i in range(G)]
     block_fn = temporal_block
     if cfg.remat:
         # Rematerialize block activations in the backward pass
         # (jax.checkpoint) — O(sqrt)-style memory for deep/long-T training.
-        def block_fn(block, cfg, x_vars, ib, *, rng, deterministic):
+        def block_fn(block, cfg, x_vars, ib, *, rng, deterministic,
+                     attn_kw={}):
             f = jax.checkpoint(
                 lambda b, xs, c: temporal_block(b, cfg, xs, c, rng=rng,
-                                                deterministic=deterministic))
+                                                deterministic=deterministic,
+                                                attn_kw=attn_kw))
             return f(block, x_vars, ib)
     for li, block in enumerate(params["blocks"]):
         brng = (jax.random.fold_in(rng, li)
                 if rng is not None and not deterministic else None)
         x_vars = block_fn(block, cfg, x_vars, ib, rng=brng,
-                          deterministic=deterministic)
+                          deterministic=deterministic, attn_kw=attn_kw)
     x_vars = [L.apply_norm(params["ln_final"][i], x_vars[i], ib)
               for i in range(G)]
     return jnp.stack(x_vars, axis=2)

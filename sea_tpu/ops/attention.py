@@ -77,7 +77,8 @@ def attention_core(q, k, v, *, causal: bool, src_len: int = 0,
 
 def mha(params, x_q, x_kv, *, n_heads: int, causal: bool, rope: bool,
         src_len: int = 0, dropout_rate: float = 0.0, dropout_key=None,
-        deterministic: bool = True, impl: str = "auto"):
+        deterministic: bool = True, impl: str = "auto", mesh=None,
+        seq_axis: str = "seq"):
     """Full-sequence multi-head attention.
 
     x_q: [B, Tq, C]; x_kv: [B, Tk, C]. When ``rope`` is True the reference
@@ -86,7 +87,9 @@ def mha(params, x_q, x_kv, *, n_heads: int, causal: bool, rope: bool,
 
     impl: "auto" (Pallas flash kernel on TPU for long deterministic
     sequences, XLA otherwise), "flash" (force the kernel), "xla" (force
-    the reference path).
+    the reference path), "ring" (sequence-parallel over ``mesh``'s
+    ``seq_axis`` — T sharded across devices, k/v shards rotated over ICI
+    with jax.lax.ppermute; parallel/ring_attention.py).
     """
     B, Tq, C = x_q.shape
     q = _split_heads(linear(params["q"], x_q), n_heads)
@@ -103,6 +106,22 @@ def mha(params, x_q, x_kv, *, n_heads: int, causal: bool, rope: bool,
         else:
             cos_k, sin_k = rope_cos_sin(hd, jnp.arange(Tk), dtype=jnp.float32)
         k = apply_rope(k, cos_k, sin_k)
+
+    if impl == "ring":
+        if mesh is None:
+            raise ValueError("impl='ring' needs a jax.sharding.Mesh with a "
+                             f"'{seq_axis}' axis (see parallel.mesh."
+                             "make_seq_mesh)")
+        if dropout_rate > 0.0 and not deterministic:
+            raise ValueError(
+                "ring attention has no attention-probability dropout "
+                "(online softmax over rotating k/v shards); train "
+                "sequence-parallel configs with dropout=0.0")
+        from sea_tpu.parallel.ring_attention import ring_attention
+        out = ring_attention(q, k, v, mesh, axis=seq_axis, causal=causal,
+                             src_len=src_len)
+        out = out.reshape(B, Tq, C)
+        return linear(params["proj"], out)
 
     use_flash = False
     if impl == "flash":

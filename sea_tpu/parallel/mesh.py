@@ -51,6 +51,27 @@ def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
     return Mesh(arr, axis_names=("data", "model"))
 
 
+def make_seq_mesh(n_seq: Optional[int] = None,
+                  devices: Optional[Sequence] = None) -> Mesh:
+    """1-D mesh over a 'seq' axis for sequence-parallel (ring) attention —
+    temporal_forward(..., seq_mesh=make_seq_mesh(n)) shards the time axis
+    across n devices (parallel/ring_attention.py)."""
+    devices = list(devices if devices is not None else jax.devices())
+    n_seq = len(devices) if n_seq is None else n_seq
+    if n_seq > len(devices):
+        raise ValueError(
+            f"make_seq_mesh(n_seq={n_seq}) needs {n_seq} devices but only "
+            f"{len(devices)} visible (see make_mesh's bootstrap note)")
+    return Mesh(np.asarray(devices[:n_seq]), axis_names=("seq",))
+
+
+def shard_seq(mesh: Mesh, x, *, axis: int = 1):
+    """Place an array with its time axis sharded over 'seq'."""
+    spec = [None] * x.ndim
+    spec[axis] = "seq"
+    return jax.device_put(x, NamedSharding(mesh, P(*spec)))
+
+
 def shard_batch(mesh: Mesh, x, *, axis: int = 0):
     """Place an array with its leading (batch) axis sharded over 'data'."""
     spec = [None] * x.ndim

@@ -120,6 +120,41 @@ def make_sharded_spatial_train_step(mesh: Mesh, cfg: SpatialModelConfig,
     return step, placed_params, placed_opt, place_batch
 
 
+def make_seq_parallel_train_step(mesh: Mesh, cfg: TemporalModelConfig,
+                                 tx, params):
+    """Sequence-parallel (ring attention) teacher-forced training: the TIME
+    axis of src/tgt/ib shards over the mesh's 'seq' axis, params replicate,
+    and every attention runs as a ring (parallel/ring_attention.py) — each
+    device holds T/n of the sequence, so T can exceed one chip's memory.
+    The reference caps T at its [2024^2] mask buffer
+    (/root/reference/models/base_blocks.py:173); this is the growth path
+    past that. Requires cfg.dropout == 0.0 (no in-ring dropout) and T
+    divisible by the ring size."""
+    if cfg.dropout != 0.0:
+        raise ValueError("sequence-parallel training requires dropout=0.0 "
+                         "(ring attention has no attention-prob dropout)")
+    from sea_tpu.parallel.mesh import replicate, shard_seq
+    placed_params = replicate(mesh, params)
+    placed_opt = replicate(mesh, tx.init(params))
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def step(params, opt_state, src, tgt, ib):
+        def loss_fn(p):
+            out = temporal_forward(p, cfg, src, ib, seq_mesh=mesh)
+            return M.mse(out, tgt)
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    def place_batch(src, tgt, ib):
+        return (shard_seq(mesh, jnp.asarray(src)),
+                shard_seq(mesh, jnp.asarray(tgt)),
+                shard_seq(mesh, jnp.asarray(ib)))
+
+    return step, placed_params, placed_opt, place_batch
+
+
 def make_sharded_rollout(mesh: Mesh, cfg: TemporalModelConfig, params):
     """Rollout with trajectories sharded over 'data' — each chip rolls out
     its shard of trajectories; eval scales linearly over the mesh.
