@@ -58,6 +58,8 @@ def bench_rollout(cfg, steps, *, bf16: bool, key_base: int):
     params = init_temporal(jax.random.PRNGKey(0), cfg)
     if bf16:
         params = cast_weights_bf16(params)
+    param_bytes = sum(x.size * x.dtype.itemsize
+                      for x in jax.tree.leaves(params))
     key = jax.random.PRNGKey(key_base)
     x0s = [jax.random.normal(jax.random.fold_in(key, i),
                              (BATCH, cfg.num_fields, cfg.embed_dim))
@@ -79,7 +81,7 @@ def bench_rollout(cfg, steps, *, bf16: bool, key_base: int):
     sink = float(run_many(params, *timed_stack))
     elapsed = time.perf_counter() - t0
     assert sink == sink, "rollout produced NaNs"
-    return steps * REPEATS / elapsed
+    return steps * REPEATS / elapsed, param_bytes
 
 
 def main():
@@ -89,10 +91,17 @@ def main():
     mp_cfg = mp_case().temporal
     cyl_cfg = cyl_case().temporal
 
-    mp_bf16 = bench_rollout(mp_cfg, 250, bf16=True, key_base=1)
-    mp_f32 = bench_rollout(mp_cfg, 250, bf16=False, key_base=2)
-    cyl_bf16 = bench_rollout(cyl_cfg, 399, bf16=True, key_base=3)
-    cyl_f32 = bench_rollout(cyl_cfg, 399, bf16=False, key_base=4)
+    mp_bf16, mp_bytes = bench_rollout(mp_cfg, 250, bf16=True, key_base=1)
+    mp_f32, _ = bench_rollout(mp_cfg, 250, bf16=False, key_base=2)
+    cyl_bf16, _ = bench_rollout(cyl_cfg, 399, bf16=True, key_base=3)
+    cyl_f32, _ = bench_rollout(cyl_cfg, 399, bf16=False, key_base=4)
+
+    # Roofline: at B=1 every rollout step streams the full weight set from
+    # HBM (activations/KV cache are small next to E=2048 matrices) — the
+    # weight stream is a LOWER bound on achieved HBM bandwidth. v5e peak
+    # is ~819 GB/s.
+    mp_gbps = mp_bf16 * mp_bytes / 1e9
+    HBM_PEAK_GBPS = 819.0
 
     baseline_path = os.path.join(REPO, "BASELINE_MEASURED.json")
     mp_ref = cyl_ref = None
@@ -117,6 +126,9 @@ def main():
         "cylinder_399step_f32": round(cyl_f32, 3),
         "cylinder_399step_f32_vs_baseline": ratio(cyl_f32, cyl_ref),
         "bf16w_drift_on_trained_weights": BF16_DRIFT,
+        "multiphase_bf16w_weight_stream_gbps": round(mp_gbps, 1),
+        "multiphase_bf16w_hbm_frac_of_peak": round(mp_gbps / HBM_PEAK_GBPS,
+                                                   3),
     }))
 
 

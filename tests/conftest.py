@@ -17,6 +17,15 @@ if "host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# Optional persistent compilation cache (opt-in: SEA_TPU_JAX_CACHE=<dir>).
+# The suite is compile-bound on small CI hosts and re-runs go ~3x faster
+# with the cache, but jax's CPU AOT loader logs machine-feature-mismatch
+# errors on some hosts, so it stays off by default.
+if os.environ.get("SEA_TPU_JAX_CACHE"):
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["SEA_TPU_JAX_CACHE"])
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -31,6 +31,7 @@ def case_3d(tmp_path) -> CaseConfig:
         run=RunConfig(save_dir=str(tmp_path), case_name="channel3d"))
 
 
+@pytest.mark.heavy
 def test_3d_two_stage_pipeline(tmp_path):
     from sea_tpu.train.train_spatial import train as train_spatial
     from sea_tpu.train.train_temporal import train as train_temporal

@@ -192,6 +192,7 @@ def test_autoregressive_validation():
     assert np.isfinite(loss) and np.isfinite(rel)
 
 
+@pytest.mark.heavy
 def test_bf16_train_step_converges():
     """Mixed-precision temporal train step: loss decreases, params stay f32."""
     import jax
@@ -328,6 +329,7 @@ def test_ib_mlp_dropout_active_in_training():
     assert not np.allclose(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.heavy
 def test_remat_gradients_match():
     """cfg.remat=True (jax.checkpoint per block) must not change gradients."""
     import dataclasses

@@ -38,6 +38,7 @@ def _tcfg():
 
 
 @requires_8
+@pytest.mark.heavy
 def test_temporal_dp_tp_step_matches_single_device():
     cfg = _tcfg()
     params = init_temporal(jax.random.PRNGKey(0), cfg)
@@ -135,6 +136,7 @@ def test_sharded_rollout_matches_single_device():
 
 
 @requires_8
+@pytest.mark.heavy
 def test_temporal_driver_with_mesh(tmp_path):
     """The full temporal training driver on a device mesh."""
     from sea_tpu.configs.base import (CaseConfig, MeshConfig, RunConfig,
@@ -171,6 +173,7 @@ def test_temporal_driver_with_mesh(tmp_path):
 
 
 @requires_8
+@pytest.mark.heavy
 def test_spatial_driver_with_mesh(tmp_path):
     from sea_tpu.configs.base import (CaseConfig, MeshConfig, RunConfig,
                                       SpatialModelConfig, TrainConfig)

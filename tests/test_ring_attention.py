@@ -45,6 +45,7 @@ def test_ring_four_devices():
 
 
 @requires_8
+@pytest.mark.heavy
 def test_ring_attention_gradients():
     """shard_map + ppermute is differentiable; gradients must match the
     single-device attention gradients."""
@@ -74,8 +75,10 @@ def test_ring_attention_gradients():
 # ---------------------------------------------------------------------------
 
 def _model_cfg(dropout=0.0):
+    # 1 layer: a second layer doubles XLA compile time on the 1-core CI
+    # host without exercising any new attention site.
     from sea_tpu.configs.base import TemporalModelConfig
-    return TemporalModelConfig(num_layers=2, embed_dim=16, n_heads=2,
+    return TemporalModelConfig(num_layers=1, embed_dim=16, n_heads=2,
                                block_size=32, scale_ratio=2, num_fields=2,
                                down_proj=2, dropout=dropout,
                                exchange_mode="sea", ib_scale_mode="mlp",
@@ -83,6 +86,7 @@ def _model_cfg(dropout=0.0):
 
 
 @requires_8
+@pytest.mark.heavy
 def test_temporal_forward_seq_mesh_matches_single_device():
     """The FULL temporal model (self-attn + SEA exchange + ib + adaln)
     with every attention running as a ring over 8 sequence shards equals
@@ -101,6 +105,7 @@ def test_temporal_forward_seq_mesh_matches_single_device():
 
 
 @requires_8
+@pytest.mark.heavy
 def test_seq_parallel_train_step_long_T():
     """T=2048 (past the reference's [2024^2] mask-buffer cap,
     base_blocks.py:173) trains sequence-parallel: forward + grad through

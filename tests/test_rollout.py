@@ -135,6 +135,7 @@ def test_rollout_dispatch_jit_compiles():
     assert bool(jnp.isfinite(out).all())
 
 
+@pytest.mark.heavy
 def test_pool_mode_rollout_uses_scan():
     """Pool mode IS causal-incremental (the pool token is per-token,
     reference temporal.py:244-251): the dispatcher must route it through

@@ -44,6 +44,7 @@ def synth():
     return cylinder_like(tr=4, T=8, n_nodes=120, seed=3)
 
 
+@pytest.mark.heavy
 def test_two_stage_training_e2e(tmp_path, synth):
     from sea_tpu.train.train_spatial import train as train_spatial
     from sea_tpu.train.train_temporal import train as train_temporal
@@ -72,6 +73,7 @@ def test_two_stage_training_e2e(tmp_path, synth):
     assert "Grad_Norm" in rows and "Param_Norm" in rows
 
 
+@pytest.mark.heavy
 def test_non_primary_process_writes_nothing(tmp_path, synth, monkeypatch):
     """Multi-host hygiene: on a non-primary process the training drivers
     train (metrics still flow) but write no checkpoints or eval artifacts —
