@@ -43,7 +43,7 @@ BF16_DRIFT = {"decoded_rel_mse_rel_change": 0.000377,
               "latent_rollout_rel_l2": 0.014533}
 
 
-def bench_rollout(cfg, steps, *, bf16: bool, key_base: int):
+def bench_rollout(cfg, steps, *, dtype: str, key_base: int):
     """Time REPEATS scan rollouts in ONE jit dispatch, return steps/sec.
 
     All repeats run inside a single jitted lax.map with one scalar
@@ -53,11 +53,14 @@ def bench_rollout(cfg, steps, *, bf16: bool, key_base: int):
     """
     from sea_tpu.models.temporal import init_temporal
     from sea_tpu.rollout.engine import rollout_scan
-    from sea_tpu.utils.precision import cast_weights_bf16
+    from sea_tpu.utils.precision import (cast_weights_bf16,
+                                         quantize_weights_int8)
 
     params = init_temporal(jax.random.PRNGKey(0), cfg)
-    if bf16:
+    if dtype == "bf16":
         params = cast_weights_bf16(params)
+    elif dtype == "int8":
+        params = quantize_weights_int8(params)
     param_bytes = sum(x.size * x.dtype.itemsize
                       for x in jax.tree.leaves(params))
     key = jax.random.PRNGKey(key_base)
@@ -91,10 +94,11 @@ def main():
     mp_cfg = mp_case().temporal
     cyl_cfg = cyl_case().temporal
 
-    mp_bf16, mp_bytes = bench_rollout(mp_cfg, 250, bf16=True, key_base=1)
-    mp_f32, _ = bench_rollout(mp_cfg, 250, bf16=False, key_base=2)
-    cyl_bf16, _ = bench_rollout(cyl_cfg, 399, bf16=True, key_base=3)
-    cyl_f32, _ = bench_rollout(cyl_cfg, 399, bf16=False, key_base=4)
+    mp_bf16, mp_bytes = bench_rollout(mp_cfg, 250, dtype="bf16", key_base=1)
+    mp_f32, _ = bench_rollout(mp_cfg, 250, dtype="f32", key_base=2)
+    mp_int8, _ = bench_rollout(mp_cfg, 250, dtype="int8", key_base=5)
+    cyl_bf16, _ = bench_rollout(cyl_cfg, 399, dtype="bf16", key_base=3)
+    cyl_f32, _ = bench_rollout(cyl_cfg, 399, dtype="f32", key_base=4)
 
     # Roofline: at B=1 every rollout step streams the full weight set from
     # HBM (activations/KV cache are small next to E=2048 matrices) — the
@@ -129,6 +133,11 @@ def main():
         "multiphase_bf16w_weight_stream_gbps": round(mp_gbps, 1),
         "multiphase_bf16w_hbm_frac_of_peak": round(mp_gbps / HBM_PEAK_GBPS,
                                                    3),
+        # Serving-mode int8 weights (utils.precision.quantize_weights_int8):
+        # quantify drift on trained weights before relying on it
+        # (tools/measure_bf16_drift.py --dtype int8).
+        "multiphase_int8w": round(mp_int8, 3),
+        "multiphase_int8w_vs_baseline": ratio(mp_int8, mp_ref),
     }))
 
 

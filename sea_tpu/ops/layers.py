@@ -56,7 +56,13 @@ def init_linear(key, d_in: int, d_out: int, *, bias: bool = True,
 
 
 def linear(params, x):
-    y = x @ params["w"]
+    if "w_q" in params:
+        # int8 weight-only serving path (utils.precision.
+        # quantize_weights_int8): widen int8 -> bf16 in-register, f32
+        # accumulation via the mixed-dtype dot, per-output-channel scale.
+        y = (x @ params["w_q"].astype(jnp.bfloat16)) * params["w_s"]
+    else:
+        y = x @ params["w"]
     if "b" in params:
         y = y + params["b"]
     return y

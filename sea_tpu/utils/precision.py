@@ -30,6 +30,45 @@ def to_f32(tree):
     return cast_floating(tree, jnp.float32)
 
 
+def quantize_weights_int8(tree, min_size: int = 1 << 16):
+    """Weight-only int8 for serving rollouts: replace each big 2-D matmul
+    weight (a ``{"w": [in, out], ...}`` linear param dict) with
+    ``{"w_q": int8 [in, out], "w_s": f32 [out], ...}`` — symmetric
+    per-output-channel quantization. ops.layers.linear dequantizes on the
+    fly (int8 -> bf16 widen in-register, f32 accumulate, scale after), so
+    HBM reads 1 byte/weight instead of 4 (f32) or 2 (bf16). The B=1
+    autoregressive rollout is HBM-bound on the weight stream (BASELINE.md
+    roofline row), so this is the remaining single-chip lever after bf16.
+
+    Norms, biases, embeddings, and anything small or non-matmul stay f32
+    (the walk only rewrites dicts that look like linear params). Quantify
+    drift on trained weights before serving (tools/measure_bf16_drift.py
+    --dtype int8)."""
+    def is_quantizable(node):
+        w = node.get("w")
+        return (w is not None and hasattr(w, "ndim") and w.ndim == 2
+                and w.size >= min_size
+                and jnp.issubdtype(w.dtype, jnp.floating))
+
+    def walk(node):
+        if isinstance(node, dict):
+            if is_quantizable(node):
+                w = node["w"].astype(jnp.float32)
+                s = jnp.max(jnp.abs(w), axis=0) / 127.0
+                s = jnp.where(s == 0.0, 1.0, s)
+                q = jnp.clip(jnp.round(w / s), -127, 127).astype(jnp.int8)
+                out = {k: walk(v) for k, v in node.items() if k != "w"}
+                out["w_q"] = q
+                out["w_s"] = s
+                return out
+            return {k: walk(v) for k, v in node.items()}
+        if isinstance(node, (list, tuple)):
+            return type(node)(walk(v) for v in node)
+        return node
+
+    return walk(tree)
+
+
 def cast_weights_bf16(tree, min_size: int = 1 << 16):
     """Weight-only bf16: cast 2D+ floating leaves with >= min_size elements
     (the big matmul weights) to bf16; keep norms, biases, and everything

@@ -102,3 +102,50 @@ def test_eval_compiles_once_on_ragged_split():
     per = np.mean((np.asarray(out) - tgt) ** 2, axis=(1, 2, 3))
     np.testing.assert_allclose(losses[0], per[:4].mean(), rtol=1e-5)
     np.testing.assert_allclose(losses[1], per[4:].mean(), rtol=1e-5)
+
+
+def test_int8_weight_quantization():
+    from sea_tpu.ops.layers import init_linear, linear
+    from sea_tpu.utils.precision import quantize_weights_int8
+    key = jax.random.PRNGKey(0)
+    p = init_linear(key, 512, 512)
+    q = quantize_weights_int8({"lin": p}, min_size=512 * 512)["lin"]
+    assert q["w_q"].dtype == jnp.int8 and "w" not in q and "b" in q
+    x = jax.random.normal(jax.random.fold_in(key, 1), (3, 512))
+    got = linear(q, x)
+    # Oracle: explicit dequantized weights through the plain path.
+    wd = (q["w_q"].astype(jnp.bfloat16).astype(jnp.float32)
+          * q["w_s"])
+    ref = linear({"w": wd, "b": q["b"]}, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-2,
+                               atol=2e-3)
+    # Relative quantization error of the matmul itself stays small.
+    exact = linear(p, x)
+    rel = float(jnp.linalg.norm(got - exact) / jnp.linalg.norm(exact))
+    assert rel < 0.02, rel
+    # Small / non-linear leaves are untouched.
+    ln = {"w": jnp.ones((512,))}
+    assert "w" in quantize_weights_int8({"ln": ln})["ln"]
+
+
+def test_int8_rollout_close_to_f32():
+    """Serving-mode int8 rollout stays close to the f32 rollout on random
+    weights (trained-weight drift is quantified separately on-chip)."""
+    from sea_tpu.configs.base import TemporalModelConfig
+    from sea_tpu.models.temporal import init_temporal
+    from sea_tpu.rollout.engine import rollout_scan
+    from sea_tpu.utils.precision import quantize_weights_int8
+    cfg = TemporalModelConfig(num_layers=1, embed_dim=64, n_heads=2,
+                              block_size=128, scale_ratio=2, num_fields=2,
+                              down_proj=2, dropout=0.0, exchange_mode="sea",
+                              ib_scale_mode="mlp", ib_addition_mode="add",
+                              ln_type="adaln")
+    params = init_temporal(jax.random.PRNGKey(0), cfg)
+    qparams = quantize_weights_int8(params, min_size=64 * 64)
+    key = jax.random.PRNGKey(1)
+    x0 = jax.random.normal(key, (2, 2, 64))
+    ib = jax.random.normal(jax.random.fold_in(key, 1), (2, 6, 1))
+    ref = rollout_scan(params, cfg, x0, ib)
+    got = rollout_scan(qparams, cfg, x0, ib)
+    rel = float(jnp.linalg.norm(got - ref) / jnp.linalg.norm(ref))
+    assert rel < 0.05, rel

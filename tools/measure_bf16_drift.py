@@ -1,4 +1,4 @@
-"""Quantify bf16-weights drift on TRAINED cylinder weights.
+"""Quantify reduced-precision weight drift on TRAINED cylinder weights.
 
 bench.py's headline uses weight-only bf16 casting (utils/precision.py:
 cast_weights_bf16 — big matmul weights in bf16, norms/biases/softmax/loss
@@ -9,6 +9,10 @@ plus the latent-space rel-L2 deviation between the two rollouts.
 
 Usage:
     python tools/measure_bf16_drift.py [--save_dir /tmp/qrun] [--cpu]
+                                       [--dtype bf16|int8]
+
+--dtype int8 measures the serving-mode weight-only int8 quantization
+(utils/precision.py: quantize_weights_int8) instead of bf16.
 
 Requires the round-1 demo checkpoints in --save_dir:
     encoder_decoder_cylinder_flow_run1.npz, temporal_cylinder_flow_run1.npz
@@ -29,6 +33,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--save_dir", default="/tmp/qrun")
     ap.add_argument("--cpu", action="store_true", default=True)
+    ap.add_argument("--dtype", choices=["bf16", "int8"], default="bf16")
     args = ap.parse_args()
 
     import jax
@@ -45,7 +50,8 @@ def main():
     from sea_tpu.train.evaluate import full_autoregressive_evaluation
     from sea_tpu.train.train_temporal import process_data
     from sea_tpu.utils.checkpoint import load_params
-    from sea_tpu.utils.precision import cast_weights_bf16
+    from sea_tpu.utils.precision import (cast_weights_bf16,
+                                         quantize_weights_int8)
 
     case = get_case("cylinder_flow")
     case = case.replace(run=dataclasses.replace(case.run,
@@ -67,7 +73,9 @@ def main():
     res_f32 = full_autoregressive_evaluation(
         params, case, td.test, td.latent_service, td.mesh_processor,
         save_artifacts=False)
-    params_bf16 = cast_weights_bf16(params)
+    reduce = (quantize_weights_int8 if args.dtype == "int8"
+              else cast_weights_bf16)
+    params_bf16 = reduce(params)
     res_bf16 = full_autoregressive_evaluation(
         params_bf16, case, td.test, td.latent_service, td.mesh_processor,
         save_artifacts=False)
@@ -83,16 +91,18 @@ def main():
 
     d32 = res_f32["decoded_rel_mse"]
     d16 = res_bf16["decoded_rel_mse"]
+    tag = args.dtype + "w"
     print(json.dumps({
+        "dtype": tag,
         "rollout_steps": int(ib.shape[1]),
         "test_trajectories": int(src.shape[0]),
         "decoded_rel_mse_f32": round(d32, 6),
-        "decoded_rel_mse_bf16w": round(d16, 6),
+        f"decoded_rel_mse_{tag}": round(d16, 6),
         "decoded_rel_mse_rel_change": round((d16 - d32) / (abs(d32) + 1e-12),
                                             6),
         "encoded_rel_mse_f32": round(res_f32["encoded_rel_mse"], 6),
-        "encoded_rel_mse_bf16w": round(res_bf16["encoded_rel_mse"], 6),
-        "latent_rollout_rel_l2_f32_vs_bf16w": round(latent_rel_l2, 6),
+        f"encoded_rel_mse_{tag}": round(res_bf16["encoded_rel_mse"], 6),
+        f"latent_rollout_rel_l2_f32_vs_{tag}": round(latent_rel_l2, 6),
     }))
 
 
