@@ -168,8 +168,9 @@ def _ib_output(block, cfg: TemporalModelConfig, ib, *, dropout_key=None,
 
 
 def _add_info(block, cfg: TemporalModelConfig, x, ib, var_idx, *,
-              dropout_key=None, deterministic=True, attn_kw={}):
+              dropout_key=None, deterministic=True, attn_kw=None):
     """temporal.py:111-120."""
+    attn_kw = attn_kw or {}
     if cfg.ib_addition_mode == "none":
         return x
     ib_key = (jax.random.fold_in(dropout_key, 1)
@@ -188,8 +189,9 @@ def _add_info(block, cfg: TemporalModelConfig, x, ib, var_idx, *,
 
 
 def _sea_pair(block, cfg, x_i, x_j, i, j, ib, *, dropout_key=None,
-              deterministic=True, attn_kw={}):
+              deterministic=True, attn_kw=None):
     """_apply_cross_attention (temporal.py:176-185)."""
+    attn_kw = attn_kw or {}
     x_i_down = L.linear(block["cross_down"][i], x_i)
     x_j_down = L.linear(block["cross_down"][j], x_j)
     x_i_norm = L.apply_norm(block["ln_cross"][i], x_i_down, ib)
@@ -203,7 +205,7 @@ def _sea_pair(block, cfg, x_i, x_j, i, j, ib, *, dropout_key=None,
 
 
 def _exchange(block, cfg: TemporalModelConfig, x_vars, ib, *, rng=None,
-              deterministic=True, attn_kw={}):
+              deterministic=True, attn_kw=None):
     G = cfg.num_fields
     mode = cfg.exchange_mode
     if mode == "simple":
@@ -244,12 +246,13 @@ def _exchange(block, cfg: TemporalModelConfig, x_vars, ib, *, rng=None,
 
 
 def _pool_exchange(block, cfg: TemporalModelConfig, x_vars, ib, *, rng=None,
-                   deterministic=True, attn_kw={}):
+                   deterministic=True, attn_kw=None):
     """SEAPoolBlockTemporal._apply_exchange (temporal.py:257-283).
 
     The pool token is a single learnable token expanded to [B, 1, dd]; each
     variable's full stream causally cross-attends to it. Includes the
     reference's leftover sinusoidal-PE application (temporal.py:265,270)."""
+    attn_kw = attn_kw or {}
     G = cfg.num_fields
     B = x_vars[0].shape[0]
     down = [L.linear(block["cross_down"][i], x) for i, x in enumerate(x_vars)]
@@ -291,8 +294,9 @@ def _pool_exchange(block, cfg: TemporalModelConfig, x_vars, ib, *, rng=None,
 
 
 def temporal_block(block, cfg: TemporalModelConfig, x_vars, ib, *, rng=None,
-                   deterministic=True, attn_kw={}):
+                   deterministic=True, attn_kw=None):
     """BaseBlockTemporal.forward (temporal.py:126-148)."""
+    attn_kw = attn_kw or {}
     G = cfg.num_fields
     x_vars = list(x_vars)
     rngs = (jax.random.split(rng, 4) if rng is not None and not deterministic
@@ -361,7 +365,7 @@ def temporal_forward(params, cfg: TemporalModelConfig, x, ib, *, rng=None,
         # Rematerialize block activations in the backward pass
         # (jax.checkpoint) — O(sqrt)-style memory for deep/long-T training.
         def block_fn(block, cfg, x_vars, ib, *, rng, deterministic,
-                     attn_kw={}):
+                     attn_kw=None):
             f = jax.checkpoint(
                 lambda b, xs, c: temporal_block(b, cfg, xs, c, rng=rng,
                                                 deterministic=deterministic,

@@ -314,7 +314,13 @@ def _as_seed(seed):
     seed = jnp.asarray(seed)
     if seed.dtype != jnp.int32:
         seed = jax.lax.bitcast_convert_type(seed, jnp.int32)
-    return seed.reshape(-1)[:2]
+    seed = seed.reshape(-1)[:2]
+    if seed.shape[0] < 2:
+        # Scalar seeds: pad to the two words every kernel reads
+        # (seed_ref[1] on a 1-word array would be an OOB SMEM read).
+        seed = jnp.concatenate(
+            [seed, jnp.zeros((2 - seed.shape[0],), jnp.int32)])
+    return seed
 
 
 # ---------------------------------------------------------------------------
@@ -523,6 +529,18 @@ def _flash_backward(q, k, v, out, lse, g, *, causal: bool, src_len: int,
         ),
         interpret=interpret,
     )(qi_map_t, kj_map_t, seed_arr, qb, kb, vb, dob, lse, dsum)
+
+    # Key columns entirely above the causal band have NO (qi, kj) pairs in
+    # the banded grid: their output blocks are never written (the kernel's
+    # init/finalize never run there), so zero them explicitly — those
+    # positions receive no gradient. Only reachable for Tk > Tq + src_len
+    # (cross-attention shapes).
+    if causal:
+        band_k_end = min(nk * block_k, nq * block_q + src_len)
+        if band_k_end < nk * block_k:
+            col = jnp.arange(nk * block_k)[None, :, None] < band_k_end
+            dk = jnp.where(col, dk, 0)
+            dv = jnp.where(col, dv, 0)
 
     def from_bh(x, T):
         return x[:, :T].reshape(B, H, T, hd).transpose(0, 2, 1, 3)

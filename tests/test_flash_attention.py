@@ -106,9 +106,14 @@ def test_flash_gradient_matches_xla():
     """Fused Pallas backward vs differentiating the XLA path (interpret)."""
     from sea_tpu.ops.flash_attention import _flash_backward, _flash_forward
 
+    # (128, 384, True, 0): Tk > Tq + src_len — key columns entirely above
+    # the causal band have no grid pairs and must come back as EXPLICIT
+    # zero gradients (regression: the banded grid used to leave those
+    # output blocks unwritten).
     for Tq, Tk, causal, src_len in [(256, 256, True, 0),
                                     (300, 300, True, 3),
-                                    (128, 384, False, 0)]:
+                                    (128, 384, False, 0),
+                                    (128, 384, True, 0)]:
         B, H, hd = 1, 2, 64
         q = _rand((B, Tq, H, hd), 6)
         k = _rand((B, Tk, H, hd), 7)
@@ -134,3 +139,14 @@ def test_flash_gradient_matches_xla():
                                    atol=5e-5, err_msg="dk " + label)
         np.testing.assert_allclose(np.asarray(dv), np.asarray(dv_ref),
                                    atol=5e-5, err_msg="dv " + label)
+
+
+def test_scalar_dropout_seed_padded():
+    """flash_attention accepts a scalar dropout_seed (docstring contract);
+    _as_seed must pad to the two words every kernel reads."""
+    from sea_tpu.ops.flash_attention import _as_seed
+    s = _as_seed(7)
+    assert s.shape == (2,) and s.dtype == jnp.int32
+    assert int(s[0]) == 7 and int(s[1]) == 0
+    s2 = _as_seed(jnp.asarray([1, 2, 3], jnp.int32))
+    assert s2.shape == (2,)

@@ -61,8 +61,9 @@ def main():
     ap.add_argument("--dtype", choices=["f32", "bf16"], default="f32")
     args = ap.parse_args()
 
+    import sea_tpu.ops.flash_attention as _fa
+    real_flash_supported = _fa.flash_supported
     if args.impl == "xla":
-        import sea_tpu.ops.flash_attention as _fa
         _fa.flash_supported = lambda *a, **k: False
 
     from sea_tpu.models.temporal import init_temporal
@@ -76,16 +77,29 @@ def main():
     tgt = jax.random.normal(jax.random.fold_in(key, 1), src.shape)
     ib = jax.random.normal(jax.random.fold_in(key, 2), (B, T, cfg.ib_num))
 
-    # Cost analysis from the compiled step (XLA view of the math). step is
-    # already jitted — lower() through it so this IS the compile the timed
-    # calls reuse (no duplicate compilation).
-    try:
-        compiled = step.lower(params, opt_state, src, tgt, ib,
-                              jax.random.PRNGKey(2)).compile()
+    def cost_of(a_step):
+        compiled = a_step.lower(params, opt_state, src, tgt, ib,
+                                jax.random.PRNGKey(2)).compile()
         ca = compiled.cost_analysis()
         ca = ca[0] if isinstance(ca, list) else ca
-        flops = float(ca.get("flops", 0.0))
-        nbytes = float(ca.get("bytes accessed", 0.0))
+        return (float(ca.get("flops", 0.0)),
+                float(ca.get("bytes accessed", 0.0)))
+
+    # Cost analysis from the compiled step (XLA view of the math). step is
+    # already jitted — lower() through it so this IS the compile the timed
+    # calls reuse (no duplicate compilation). Pallas kernel internals are
+    # opaque to cost_analysis, so for --impl auto the FLOPs come from a
+    # separate forced-XLA compile of the same math (the timed step is
+    # still the auto one).
+    try:
+        flops, nbytes = cost_of(step)
+        if args.impl == "auto":
+            _fa.flash_supported = lambda *a, **k: False
+            try:
+                _, xla_step, _, _, _ = build(args.case, "xla", args.dtype)
+                flops, _ = cost_of(xla_step)  # keep the auto-step bytes
+            finally:
+                _fa.flash_supported = real_flash_supported
     except Exception:
         flops = nbytes = 0.0
 
@@ -113,7 +127,7 @@ def main():
         "B": B, "T": T,
         "ms_per_step": round(dt * 1000, 2),
         "tokens_per_sec": round(tokens / dt),
-        "loss": float(loss),
+        "loss": float(stats["loss"]),
     }
     if flops:
         out["model_tflops_per_step"] = round(flops / 1e12, 3)
