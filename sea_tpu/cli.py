@@ -64,6 +64,12 @@ def main(argv=None):
     parser.add_argument("--synthetic", action="store_true",
                         help="use generated synthetic data")
     parser.add_argument("--save_dir", default=None)
+    parser.add_argument("--precision", choices=["f32", "bf16", "int8"],
+                        default="f32",
+                        help="serving precision for `temporal test`: bf16 "
+                             "casts the big matmul weights, int8 quantizes "
+                             "them per-output-channel (quantify drift with "
+                             "tools/measure_bf16_drift.py first)")
     args = parser.parse_args(argv)
 
     case = get_case(args.flow_type)
@@ -169,6 +175,15 @@ def main(argv=None):
             print(f"Using pretrained model: {path}")
             params = _load_any_checkpoint(path, template, case.temporal,
                                           kind="temporal")
+            if args.precision == "bf16":
+                from sea_tpu.utils.precision import cast_weights_bf16
+                params = cast_weights_bf16(params)
+                print("Serving precision: bf16 weights")
+            elif args.precision == "int8":
+                from sea_tpu.utils.precision import quantize_weights_int8
+                params = quantize_weights_int8(params)
+                print("Serving precision: int8 weights "
+                      "(per-output-channel)")
             results = full_autoregressive_evaluation(
                 params, case, td.test, td.latent_service, td.mesh_processor,
                 epoch=0, plot_traj=True)
