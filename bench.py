@@ -38,9 +38,14 @@ sys.path.insert(0, REPO)
 
 BATCH = 1
 REPEATS = 5
-# Drift bound measured on trained weights (tools/measure_bf16_drift.py).
-BF16_DRIFT = {"decoded_rel_mse_rel_change": 0.000377,
-              "latent_rollout_rel_l2": 0.014533}
+# Drift bounds measured on TRAINED cylinder demo weights
+# (tools/measure_bf16_drift.py --dtype {bf16,int8}; round-2 retrain,
+# encoder 420 epochs R2=0.96 / temporal ~315 epochs, 40-step decoded
+# rollout). Budget is 5% decoded rel-MSE.
+BF16_DRIFT = {"decoded_rel_mse_rel_change": 4.1e-05,
+              "latent_rollout_rel_l2": 0.001207}
+INT8_DRIFT = {"decoded_rel_mse_rel_change": -0.000525,
+              "latent_rollout_rel_l2": 0.006717}
 
 
 def bench_rollout(cfg, steps, *, dtype: str, key_base: int):
@@ -133,11 +138,10 @@ def main():
         "multiphase_bf16w_weight_stream_gbps": round(mp_gbps, 1),
         "multiphase_bf16w_hbm_frac_of_peak": round(mp_gbps / HBM_PEAK_GBPS,
                                                    3),
-        # Serving-mode int8 weights (utils.precision.quantize_weights_int8):
-        # quantify drift on trained weights before relying on it
-        # (tools/measure_bf16_drift.py --dtype int8).
+        # Serving-mode int8 weights (utils.precision.quantize_weights_int8).
         "multiphase_int8w": round(mp_int8, 3),
         "multiphase_int8w_vs_baseline": ratio(mp_int8, mp_ref),
+        "int8w_drift_on_trained_weights": INT8_DRIFT,
     }))
 
 
