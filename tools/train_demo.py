@@ -1,0 +1,116 @@
+"""Chunked trainer for the learning-quality demo (docs/demo Run B).
+
+Trains the full-size cylinder config on 16 synthetic Re-conditioned
+trajectories (10 train / 3 val / 3 test at the config's split fractions)
+in resumable chunks — each invocation runs --epochs more epochs of the
+requested stage and exits; checkpoints land in --save_dir under the usual
+family names, so re-running continues from the best checkpoint. Designed
+for environments that cap single-command wall-clock (tunneled TPU
+sessions): relaunch until converged.
+
+    python tools/train_demo.py --stage spatial  --epochs 120 [--fresh]
+    python tools/train_demo.py --stage temporal --epochs 80
+    python tools/train_demo.py --stage eval          # test-split rollout
+"""
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+TR, T, NODES = 16, 41, 800
+
+
+def build_case(save_dir):
+    from sea_tpu.configs.cylinder_flow import get_case
+    case = get_case()
+    case = case.replace(run=dataclasses.replace(case.run,
+                                                save_dir=save_dir))
+    tt = case.temporal_train
+    n_train = max(1, int(round(TR * case.temporal_split.train_fraction)))
+    return case.replace(temporal_train=dataclasses.replace(
+        tt, dataset_src_len=min(tt.dataset_src_len, T - 1),
+        batch_size=min(tt.batch_size, n_train)))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--stage", choices=["spatial", "temporal", "eval"],
+                    required=True)
+    ap.add_argument("--epochs", type=int, default=100)
+    ap.add_argument("--save_dir", default="/tmp/demo_b")
+    ap.add_argument("--fresh", action="store_true",
+                    help="ignore an existing checkpoint (restart)")
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    import jax
+    from sea_tpu.data.synthetic import cylinder_like
+    from sea_tpu.utils.checkpoint import checkpoint_path, load_params
+
+    # Persistent XLA compilation cache: chunked invocations recompile the
+    # same programs every run otherwise (several minutes each on the
+    # tunneled backend).
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(args.save_dir, "xla_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    case = build_case(args.save_dir)
+    data = cylinder_like(tr=TR, T=T, n_nodes=NODES,
+                         seed=case.spatial_split.random_seed)
+
+    if args.stage == "spatial":
+        from sea_tpu.models.spatial import init_spatial
+        from sea_tpu.train.train_spatial import process_data, train
+        init_params = None
+        precomputed = None
+        path = checkpoint_path(args.save_dir, "encoder_decoder",
+                               case.run.case_name, case.run.run_name)
+        if os.path.exists(path) and not args.fresh:
+            precomputed = process_data(case, data=data)
+            template = init_spatial(jax.random.PRNGKey(0),
+                                    precomputed.spatial_cfg)
+            init_params = load_params(path, template)
+            print(f"resuming spatial from {path}")
+        train(case, data=data, epochs=args.epochs, init_params=init_params,
+              precomputed=precomputed, seed=args.seed)
+    elif args.stage == "temporal":
+        from sea_tpu.models.temporal import init_temporal
+        from sea_tpu.train.train_temporal import train
+        init_params = None
+        path = checkpoint_path(args.save_dir, "temporal",
+                               case.run.case_name, case.run.run_name)
+        if os.path.exists(path) and not args.fresh:
+            template = init_temporal(jax.random.PRNGKey(0), case.temporal)
+            init_params = load_params(path, template)
+            print(f"resuming temporal from {path}")
+        train(case, data=data, epochs=args.epochs, init_params=init_params,
+              seed=args.seed)
+    else:  # eval: rollout on the held-out TEST split
+        from sea_tpu.models.temporal import init_temporal
+        from sea_tpu.train.evaluate import full_autoregressive_evaluation
+        from sea_tpu.train.train_temporal import process_data
+        td = process_data(case, data=data)
+        template = init_temporal(jax.random.PRNGKey(0), case.temporal)
+        # Prefer the best-rollout checkpoint family when present.
+        ck = checkpoint_path(args.save_dir, "temporal_Checkpoint",
+                             case.run.case_name, case.run.run_name)
+        if not os.path.exists(ck):
+            ck = checkpoint_path(args.save_dir, "temporal",
+                                 case.run.case_name, case.run.run_name)
+        params = load_params(ck, template)
+        print(f"evaluating {ck} on the test split")
+        res = full_autoregressive_evaluation(
+            params, case, td.test, td.latent_service, td.mesh_processor,
+            epoch=0, save_artifacts=True)
+        print(json.dumps({
+            "encoded_rel_mse": round(res["encoded_rel_mse"], 6),
+            "decoded_rel_mse": round(res["decoded_rel_mse"], 6)}))
+
+
+if __name__ == "__main__":
+    main()
