@@ -75,9 +75,16 @@ def ring_attention(q, k, v, mesh: Mesh, *, axis: str = "seq",
         q_off = idx * Tl
         # Mark the accumulators as device-varying over the ring axis (the
         # scan body makes them depend on this device's q/k blocks).
-        m = jax.lax.pvary(jnp.full((B, H, Tl, 1), -1e30, jnp.float32), axis)
-        l = jax.lax.pvary(jnp.zeros((B, H, Tl, 1), jnp.float32), axis)
-        acc = jax.lax.pvary(jnp.zeros((B, Tl, H, hd), jnp.float32), axis)
+        # jax.lax.pvary is deprecated in favor of pcast(to='varying').
+        if hasattr(jax.lax, "pcast"):
+            def _vary(x):
+                return jax.lax.pcast(x, axis, to="varying")
+        else:  # pragma: no cover — older jax
+            def _vary(x):
+                return jax.lax.pvary(x, axis)
+        m = _vary(jnp.full((B, H, Tl, 1), -1e30, jnp.float32))
+        l = _vary(jnp.zeros((B, H, Tl, 1), jnp.float32))
+        acc = _vary(jnp.zeros((B, Tl, H, hd), jnp.float32))
 
         def attend(args):
             m, l, acc, k_cur, v_cur, k_off = args
