@@ -88,17 +88,33 @@ def replicate(mesh: Mesh, tree):
 # Tensor-parallel partition specs
 # ---------------------------------------------------------------------------
 
+def _tp_linear_spec(p, w_spec, b_spec):
+    """Partition spec for one linear param dict, matching its actual keys:
+    plain {"w", "b"} or int8-quantized {"w_q", "w_s", "b"}
+    (utils.precision.quantize_weights_int8). The int8 weight shards like
+    the full weight; the per-output-channel scale follows the output dim."""
+    spec = {}
+    if "w" in p:
+        spec["w"] = w_spec
+    if "w_q" in p:
+        spec["w_q"] = w_spec
+        # w_s is [out]: sharded iff the output dim is.
+        spec["w_s"] = P(w_spec[1]) if len(w_spec) > 1 else P()
+    if "b" in p:
+        spec["b"] = b_spec
+    return spec
+
+
 def _tp_attention_spec(p):
     """q/k/v project [D, D=H*hd]: shard the head (output) dim; the output
     projection [D, D] shards its input dim — the contraction then needs one
     all-reduce, which GSPMD inserts (Megatron pattern)."""
-    spec = {
-        "q": {"w": P(None, "model"), "b": P("model")},
-        "k": {"w": P(None, "model"), "b": P("model")},
-        "v": {"w": P(None, "model"), "b": P("model")},
-        "proj": {"w": P("model", None)},
+    return {
+        "q": _tp_linear_spec(p["q"], P(None, "model"), P("model")),
+        "k": _tp_linear_spec(p["k"], P(None, "model"), P("model")),
+        "v": _tp_linear_spec(p["v"], P(None, "model"), P("model")),
+        "proj": _tp_linear_spec(p["proj"], P("model", None), P()),
     }
-    return spec
 
 
 def temporal_param_shardings(mesh: Mesh, params):

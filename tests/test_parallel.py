@@ -136,6 +136,27 @@ def test_sharded_rollout_matches_single_device():
 
 
 @requires_8
+def test_sharded_rollout_int8_weights():
+    """Multi-chip serving composes with int8 quantization: the TP specs
+    match the quantized param structure (w_q/w_s), and the sharded rollout
+    equals the single-device rollout on the SAME quantized weights."""
+    from sea_tpu.utils.precision import quantize_weights_int8
+    cfg = _tcfg()
+    params = quantize_weights_int8(init_temporal(jax.random.PRNGKey(4), cfg),
+                                   min_size=32 * 32)
+    B, T = 8, 5
+    x0 = jax.random.normal(jax.random.PRNGKey(5),
+                           (B, cfg.num_fields, cfg.embed_dim))
+    ib = jax.random.normal(jax.random.PRNGKey(6), (B, T, cfg.ib_num))
+
+    ref = rollout_scan(params, cfg, x0, ib)
+    mesh = make_mesh(n_data=4, n_model=2)
+    run, pp, place = make_sharded_rollout(mesh, cfg, params)
+    got = run(pp, *place(x0, ib))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4)
+
+
+@requires_8
 @pytest.mark.heavy
 def test_temporal_driver_with_mesh(tmp_path):
     """The full temporal training driver on a device mesh."""
