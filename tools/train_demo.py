@@ -46,9 +46,14 @@ def main():
     ap.add_argument("--fresh", action="store_true",
                     help="ignore an existing checkpoint (restart)")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (the session env rewrites "
+                         "JAX_PLATFORMS, so only jax.config sticks)")
     args = ap.parse_args()
 
     import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     from sea_tpu.data.synthetic import cylinder_like
     from sea_tpu.utils.checkpoint import checkpoint_path, load_params
 
