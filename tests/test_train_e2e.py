@@ -126,3 +126,20 @@ def test_checkpoint_roundtrip(tmp_path):
     assert len(flat_a) == len(flat_b)
     for a, b in zip(flat_a, flat_b):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    """Orbax pytree checkpointing (the multi-host-capable path): params +
+    opt-state trees round-trip losslessly through save/restore."""
+    import jax
+    from sea_tpu.models.temporal import init_temporal
+    from sea_tpu.utils.checkpoint import (restore_checkpoint_orbax,
+                                          save_checkpoint_orbax)
+    cfg = TemporalModelConfig(num_layers=1, embed_dim=16, n_heads=2,
+                              num_fields=2, scale_ratio=2)
+    params = init_temporal(jax.random.PRNGKey(0), cfg)
+    path = save_checkpoint_orbax(str(tmp_path / "ckpt"), {"params": params})
+    restored = restore_checkpoint_orbax(path, {"params": params})
+    for a, b in zip(jax.tree.leaves(params),
+                    jax.tree.leaves(restored["params"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
