@@ -71,6 +71,12 @@ def main(argv=None):
                              "them per-output-channel (quantify drift with "
                              "tools/measure_bf16_drift.py first)")
     args = parser.parse_args(argv)
+    if args.precision != "f32" and (args.model_type, args.mode) != \
+            ("temporal", "test"):
+        parser.error(
+            f"--precision {args.precision} only applies to `temporal test` "
+            "(rollout serving); training always runs the configured "
+            "compute_dtype policy")
 
     case = get_case(args.flow_type)
     if args.save_dir:

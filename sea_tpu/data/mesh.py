@@ -88,9 +88,20 @@ class MeshProcessor:
             self._roundtrip_check(scaled, patched)
         return self.partition.coords, patched
 
+    def _check_group_coverage(self, n_fields: int) -> None:
+        """Scaling writes into a zeros buffer per group — a field index no
+        group covers would come back identically 0 (silent corruption)."""
+        covered = sorted(i for g in self.field_groups for i in g)
+        if covered != list(range(n_fields)):
+            raise ValueError(
+                f"field_groups {self.field_groups} must cover every field "
+                f"index 0..{n_fields - 1} exactly once when scaling is "
+                f"enabled (covered: {covered})")
+
     def _scale_fields(self, fields: np.ndarray) -> np.ndarray:
         if not self.scalers:
             return fields
+        self._check_group_coverage(fields.shape[-1])
         out = np.zeros_like(fields)
         for scaler, group in zip(self.scalers, self.field_groups):
             out[..., group] = scaler.transform(fields[..., group])
@@ -101,6 +112,7 @@ class MeshProcessor:
         flat = unpatchify(self.partition, np.asarray(patched))
         if not self.scalers:
             return flat
+        self._check_group_coverage(flat.shape[-1])
         out = np.zeros_like(flat)
         for scaler, group in zip(self.scalers, self.field_groups):
             out[..., group] = scaler.inverse_transform(flat[..., group])

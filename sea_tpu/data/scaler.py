@@ -67,3 +67,11 @@ class MinMaxScaler:
         data = np.load(load_file)
         self.min_val = float(data["min_val"])
         self.max_val = float(data["max_val"])
+        if "feature_range" in data:
+            # The persisted range is authoritative: a config edited between
+            # fit and load would otherwise silently mis-scale everything.
+            saved = tuple(float(v) for v in data["feature_range"])
+            if saved != tuple(self.feature_range):
+                print(f"{self.name}: restoring persisted feature_range "
+                      f"{saved} (config said {tuple(self.feature_range)})")
+            self.feature_range = saved

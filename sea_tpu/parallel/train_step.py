@@ -161,12 +161,12 @@ def make_sharded_rollout(mesh: Mesh, cfg: TemporalModelConfig, params):
 
     Only valid for scan-incremental configs (see rollout.engine.rollout);
     other configs must use the prefix-recompute path."""
-    if (cfg.exchange_mode == "pool" or cfg.ib_addition_mode == "attention"
-            or cfg.src_len != 0):
+    if cfg.ib_addition_mode == "attention" or cfg.src_len != 0:
         raise ValueError(
             "make_sharded_rollout requires a scan-incremental config "
-            "(no pool exchange, no attention ib-conditioning, src_len == 0);"
-            " use rollout.engine.rollout for the prefix-recompute fallback")
+            "(no attention ib-conditioning, src_len == 0; every exchange "
+            "mode incl. pool qualifies); use rollout.engine.rollout for "
+            "the prefix-recompute fallback")
     pspec = temporal_param_shardings(mesh, params)
     placed_params = jax.device_put(params, pspec)
 

@@ -44,13 +44,13 @@ def make_e2e_rollout_eval(tcfg: TemporalModelConfig,
     inverse scaling is folded into the compiled program as per-field
     affine constants.
     """
-    if (tcfg.exchange_mode == "pool"
-            or tcfg.ib_addition_mode == "attention" or tcfg.src_len != 0):
+    if tcfg.ib_addition_mode == "attention" or tcfg.src_len != 0:
         raise ValueError(
             "make_e2e_rollout_eval requires a scan-incremental config "
-            "(no pool exchange, no attention ib-conditioning, src_len == 0);"
-            " use train.evaluate.full_autoregressive_evaluation, which "
-            "dispatches to the prefix-recompute fallback")
+            "(no attention ib-conditioning, src_len == 0; every exchange "
+            "mode incl. pool qualifies); use "
+            "train.evaluate.full_autoregressive_evaluation, whose engine "
+            "dispatches to the prefix-recompute fallback for these")
     P = part.num_patches
     C = part.cells_per_patch
     D = scfg.embed_dim

@@ -72,16 +72,27 @@ def restore_pytree(path: str, template: Any) -> Any:
         if isinstance(tree, list):
             return [rebuild(v, f"{prefix}{i}/") for i, v in enumerate(tree)]
         if isinstance(tree, tuple):
-            return tuple(rebuild(v, f"{prefix}{i}/")
-                         for i, v in enumerate(tree))
+            children = [rebuild(v, f"{prefix}{i}/")
+                        for i, v in enumerate(tree)]
+            # Namedtuples (optax states like ScaleByAdamState) must keep
+            # their type — a plain tuple breaks tx.update on resume.
+            if hasattr(tree, "_fields"):
+                return type(tree)(*children)
+            return tuple(children)
         if tree is None:
             return None
         key = prefix[:-1]
         if key not in data:
             raise KeyError(f"checkpoint {path} missing leaf {key!r}")
         leaf = data[key]
-        return leaf.astype(np.asarray(tree).dtype).reshape(
-            np.asarray(tree).shape)
+        want = np.asarray(tree)
+        if leaf.shape != want.shape:
+            raise ValueError(
+                f"checkpoint {path} leaf {key!r} has shape {leaf.shape} "
+                f"but the template expects {want.shape} — the checkpoint "
+                "was saved with a different config/layout (a silent "
+                "reshape would scramble the weights)")
+        return leaf.astype(want.dtype)
 
     return rebuild(template)
 

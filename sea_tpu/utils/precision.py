@@ -70,14 +70,27 @@ def quantize_weights_int8(tree, min_size: int = 1 << 16):
 
 
 def cast_weights_bf16(tree, min_size: int = 1 << 16):
-    """Weight-only bf16: cast 2D+ floating leaves with >= min_size elements
-    (the big matmul weights) to bf16; keep norms, biases, and everything
-    small in f32. Activations stay f32 (mixed-dtype matmuls read bf16
-    weights from HBM and widen in-register), capturing most of the
-    HBM-bandwidth win of full bf16 at a fraction of the drift."""
-    def cast(x):
-        if (hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
-                and x.ndim >= 2 and x.size >= min_size):
-            return x.astype(jnp.bfloat16)
-        return x
-    return jax.tree.map(cast, tree)
+    """Weight-only bf16: cast the big 2-D MATMUL weights (the "w" entry of
+    linear param dicts, >= min_size elements) to bf16; keep norms, biases,
+    positional-encoding tables (pe/pool_pe buffers), and everything small
+    in f32. Activations stay f32 (mixed-dtype matmuls read bf16 weights
+    from HBM and widen in-register), capturing most of the HBM-bandwidth
+    win of full bf16 at a fraction of the drift. Same structure-aware walk
+    as quantize_weights_int8, so non-weight buffers are never touched."""
+    def is_castable(node):
+        w = node.get("w")
+        return (w is not None and hasattr(w, "ndim") and w.ndim == 2
+                and w.size >= min_size
+                and jnp.issubdtype(w.dtype, jnp.floating))
+
+    def walk(node):
+        if isinstance(node, dict):
+            out = {k: walk(v) for k, v in node.items()}
+            if is_castable(node):
+                out["w"] = node["w"].astype(jnp.bfloat16)
+            return out
+        if isinstance(node, (list, tuple)):
+            return type(node)(walk(v) for v in node)
+        return node
+
+    return walk(tree)

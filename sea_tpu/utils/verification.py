@@ -19,21 +19,30 @@ from sea_tpu.data.mesh import MeshProcessor
 from sea_tpu.data.partitioner import PartitionIndex, patchify, unpatchify
 
 
+class VerificationError(AssertionError):
+    """Raised when a data-pipeline invariant fails. Subclasses
+    AssertionError for backward compatibility with callers/tests that
+    catch it, but is raised explicitly so `python -O` cannot strip it."""
+
+
 def verify_partition_roundtrip(part: PartitionIndex, fields: np.ndarray,
                                coords: np.ndarray, *, atol: float = 1e-6
                                ) -> Dict[str, float]:
-    """fields: [T, N, F]; coords: [N, dim]. Raises AssertionError on
-    failure; returns diff stats on success."""
+    """fields: [T, N, F]; coords: [N, dim]. Raises VerificationError on
+    failure (a real exception — unlike ``assert`` it survives
+    ``python -O``); returns diff stats on success."""
     patched = patchify(part, fields)
     recon = unpatchify(part, patched)
     max_diff = float(np.max(np.abs(recon - fields)))
-    assert max_diff <= atol, f"field round-trip failed: {max_diff}"
+    if max_diff > atol:
+        raise VerificationError(f"field round-trip failed: {max_diff}")
 
     valid = part.valid_mask
     recon_coords = np.empty_like(coords)
     recon_coords[part.index_map[valid]] = part.coords[valid]
     coord_diff = float(np.max(np.abs(recon_coords - coords)))
-    assert coord_diff <= atol, f"coord round-trip failed: {coord_diff}"
+    if coord_diff > atol:
+        raise VerificationError(f"coord round-trip failed: {coord_diff}")
     return {"max_field_diff": max_diff, "max_coord_diff": coord_diff,
             "passed": True}
 
@@ -59,5 +68,6 @@ def verify_mesh_processor(mp: MeshProcessor, fields: np.ndarray, *,
     diff = np.abs(recon - sample)
     result = {"max_diff": float(diff.max()), "mean_diff": float(diff.mean()),
               "passed": bool(np.allclose(recon, sample, atol=max(atol, 1e-5)))}
-    assert result["passed"], result
+    if not result["passed"]:
+        raise VerificationError(f"mesh round-trip failed: {result}")
     return result

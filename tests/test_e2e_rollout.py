@@ -20,8 +20,9 @@ from sea_tpu.train.evaluate import full_autoregressive_evaluation
 import pytest
 
 
-@pytest.mark.parametrize("scaled", [False, True])
-def test_on_device_eval_matches_staged_pipeline(tmp_path, scaled):
+@pytest.mark.parametrize("scaled,exchange", [(False, "sea"), (True, "sea"),
+                                             (False, "pool")])
+def test_on_device_eval_matches_staged_pipeline(tmp_path, scaled, exchange):
     fields, coords, ib = cylinder_like(tr=2, T=9, n_nodes=150)
     tr, T, N, F = fields.shape
     mesh_cfg = MeshConfig(m=3, n=3,
@@ -41,9 +42,11 @@ def test_on_device_eval_matches_staged_pipeline(tmp_path, scaled):
 
     tcfg = TemporalModelConfig(num_layers=1, embed_dim=16, n_heads=2,
                                block_size=32, scale_ratio=2, num_fields=2,
-                               down_proj=2, dropout=0.0, exchange_mode="sea",
+                               down_proj=2, dropout=0.0,
+                               exchange_mode=exchange,
                                ib_scale_mode="mlp", ib_addition_mode="add",
-                               ln_type="adaln")
+                               ln_type="ln" if exchange == "pool"
+                               else "adaln")
     tparams = init_temporal(jax.random.PRNGKey(1), tcfg)
 
     windows = make_temporal_windows(lat, fields, ib, src_len=T - 1)

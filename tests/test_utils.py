@@ -35,14 +35,20 @@ def test_multihost_single_process_noop():
 
 
 def test_cast_weights_bf16_selectivity():
+    """Only the "w" of big linear param dicts casts — biases, small
+    weights, int buffers, and bare arrays (PE tables) stay untouched."""
     from sea_tpu.utils.precision import cast_weights_bf16
-    tree = {"big": jnp.zeros((512, 512)), "small": jnp.zeros((4, 4)),
-            "bias": jnp.zeros((512,)), "idx": jnp.zeros((512, 512), jnp.int32)}
+    tree = {"lin": {"w": jnp.zeros((512, 512)), "b": jnp.zeros((512,))},
+            "small": {"w": jnp.zeros((4, 4))},
+            "int_lin": {"w": jnp.zeros((512, 512), jnp.int32)},
+            "pool_pe": jnp.zeros((5000, 512))}
     out = cast_weights_bf16(tree)
-    assert out["big"].dtype == jnp.bfloat16
-    assert out["small"].dtype == jnp.float32
-    assert out["bias"].dtype == jnp.float32
-    assert out["idx"].dtype == jnp.int32
+    assert out["lin"]["w"].dtype == jnp.bfloat16
+    assert out["lin"]["b"].dtype == jnp.float32
+    assert out["small"]["w"].dtype == jnp.float32
+    assert out["int_lin"]["w"].dtype == jnp.int32
+    # Buffers outside linear dicts (sinusoidal PE tables) never cast.
+    assert out["pool_pe"].dtype == jnp.float32
 
 
 def test_masked_metrics_match_unmasked_on_full_batch():
@@ -149,3 +155,43 @@ def test_int8_rollout_close_to_f32():
     got = rollout_scan(qparams, cfg, x0, ib)
     rel = float(jnp.linalg.norm(got - ref) / jnp.linalg.norm(ref))
     assert rel < 0.05, rel
+
+
+def test_restore_pytree_preserves_namedtuples_and_checks_shapes(tmp_path):
+    """Review regressions: (1) optax namedtuple states must keep their
+    type through save/restore (a plain tuple breaks tx.update on resume);
+    (2) a shape-mismatched checkpoint leaf raises instead of silently
+    reshape-scrambling the weights."""
+    import optax
+    from sea_tpu.utils.checkpoint import restore_pytree, save_pytree
+    params = {"w": jnp.ones((3, 4))}
+    tx = optax.adamw(1e-3)
+    opt_state = tx.init(params)
+    path = str(tmp_path / "ck.npz")
+    save_pytree(path, {"params": params, "opt_state": opt_state})
+    restored = restore_pytree(path, {"params": params,
+                                     "opt_state": opt_state})
+    # The restored state must be usable by the optimizer directly.
+    grads = {"w": jnp.ones((3, 4))}
+    updates, _ = tx.update(grads, restored["opt_state"], restored["params"])
+    assert updates["w"].shape == (3, 4)
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="shape"):
+        restore_pytree(path, {"params": {"w": jnp.ones((4, 3))},
+                              "opt_state": opt_state})
+
+
+def test_scaler_restores_persisted_feature_range(tmp_path):
+    from sea_tpu.data.scaler import MinMaxScaler
+    sc = MinMaxScaler(feature_range=(-1.0, 1.0), name="s",
+                      save_dir=str(tmp_path))
+    data = np.linspace(0, 10, 7)
+    sc.fit(data)
+    # A config edited between fit and load must not silently mis-scale.
+    sc2 = MinMaxScaler(feature_range=(0.0, 1.0), name="s",
+                       save_dir=str(tmp_path))
+    sc2.load_values()
+    assert sc2.feature_range == (-1.0, 1.0)
+    np.testing.assert_allclose(sc2.inverse_transform(sc.transform(data)),
+                               data, atol=1e-6)
