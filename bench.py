@@ -92,6 +92,22 @@ def bench_rollout(cfg, steps, *, dtype: str, key_base: int):
     return steps * REPEATS / elapsed, param_bytes
 
 
+def _hbm_peak_gbps():
+    """Peak HBM bandwidth for the detected chip (ADVICE r2: don't hard-code
+    v5e). Values from public TPU spec sheets; unknown kinds fall back to the
+    v5e figure with the kind recorded in the output for transparency."""
+    peaks = {"TPU v4": 1228.0, "TPU v5e": 819.0, "TPU v5 lite": 819.0,
+             "TPU v5p": 2765.0, "TPU v6e": 1638.0, "TPU v6 lite": 1638.0}
+    try:
+        kind = jax.devices()[0].device_kind
+    except Exception:
+        kind = "unknown"
+    for name, bw in peaks.items():
+        if kind.lower().startswith(name.lower()):
+            return kind, bw
+    return f"{kind} (assuming v5e peak)", 819.0
+
+
 def main():
     from sea_tpu.configs.cylinder_flow import get_case as cyl_case
     from sea_tpu.configs.multiphase_flow import get_case as mp_case
@@ -107,10 +123,9 @@ def main():
 
     # Roofline: at B=1 every rollout step streams the full weight set from
     # HBM (activations/KV cache are small next to E=2048 matrices) — the
-    # weight stream is a LOWER bound on achieved HBM bandwidth. v5e peak
-    # is ~819 GB/s.
+    # weight stream is a LOWER bound on achieved HBM bandwidth.
     mp_gbps = mp_bf16 * mp_bytes / 1e9
-    HBM_PEAK_GBPS = 819.0
+    chip, hbm_peak = _hbm_peak_gbps()
 
     baseline_path = os.path.join(REPO, "BASELINE_MEASURED.json")
     mp_ref = cyl_ref = None
@@ -136,8 +151,8 @@ def main():
         "cylinder_399step_f32_vs_baseline": ratio(cyl_f32, cyl_ref),
         "bf16w_drift_on_trained_weights": BF16_DRIFT,
         "multiphase_bf16w_weight_stream_gbps": round(mp_gbps, 1),
-        "multiphase_bf16w_hbm_frac_of_peak": round(mp_gbps / HBM_PEAK_GBPS,
-                                                   3),
+        "multiphase_bf16w_hbm_frac_of_peak": round(mp_gbps / hbm_peak, 3),
+        "hbm_peak_assumed": {"chip": chip, "gbps": hbm_peak},
         # Serving-mode int8 weights (utils.precision.quantize_weights_int8).
         "multiphase_int8w": round(mp_int8, 3),
         "multiphase_int8w_vs_baseline": ratio(mp_int8, mp_ref),

@@ -3,6 +3,7 @@
 Mirror of reference main.py:
     python -m sea_tpu.cli <flow_type> {encoder,temporal} {train,test}
         [--model_path PATH] [--epochs N] [--synthetic]
+        [--mesh auto|none|DxM] [--seq_parallel N] [--precision ...]
 
 - flow_type selects a config module from sea_tpu.configs by name via
   importlib (main.py:23-38 behavior).
@@ -10,6 +11,13 @@ Mirror of reference main.py:
   main.py:62-124, including final_save and model-path overrides.
 - --synthetic generates in-memory synthetic data instead of reading the
   configured .npy paths (the reference repo ships no data).
+
+Multi-chip (no reference equivalent — SURVEY §2.10): training modes run
+SPMD over a jax.sharding.Mesh. By default (--mesh auto) every visible
+device joins a data-parallel mesh; --mesh DxM adds tensor-parallel
+attention sharding over the model axis; --seq_parallel N shards the TIME
+axis over an N-device ring (ring attention). jax.distributed is
+initialized at entry, so the same command line works on a multi-host pod.
 """
 
 from __future__ import annotations
@@ -28,15 +36,16 @@ def get_case(flow_type: str):
     except (ModuleNotFoundError, ValueError):
         spec = None  # e.g. a dotted or otherwise malformed flow_type
     if spec is None:
-        print(f"Error: Unknown flow type '{flow_type}'. Make sure the "
-              f"corresponding config module exists in sea_tpu.configs.")
+        print(f"Error: no config module named '{flow_type}' in "
+              f"sea_tpu.configs (expected e.g. cylinder_flow, "
+              f"multiphase_flow).")
         sys.exit(1)
     # Import errors raised *inside* a valid config module (e.g. a missing
     # dependency) propagate with their real traceback.
     module = importlib.import_module(f"sea_tpu.configs.{flow_type}")
     if not hasattr(module, "get_case"):
-        print(f"Error: The config module for '{flow_type}' does not have "
-              f"the required get_case function.")
+        print(f"Error: config module '{flow_type}' defines no get_case() "
+              f"entry point.")
         sys.exit(1)
     return module.get_case()
 
@@ -46,7 +55,10 @@ def _load_data(case, synthetic: bool):
         from sea_tpu.data.synthetic import cylinder_like, multiphase_like
         gen = (multiphase_like if "multiphase" in case.run.case_name
                else cylinder_like)
-        return gen(tr=5, T=41, n_nodes=800, seed=case.spatial_split.random_seed)
+        # tr=8: the temporal train split (fraction 0.6 -> 5 trajectories =
+        # 5 windows) must cover at least one batch even when the batch is
+        # rounded up for a --mesh data axis of 4.
+        return gen(tr=8, T=41, n_nodes=800, seed=case.spatial_split.random_seed)
     return None  # drivers read the configured paths
 
 
@@ -70,13 +82,34 @@ def main(argv=None):
                              "casts the big matmul weights, int8 quantizes "
                              "them per-output-channel (quantify drift with "
                              "tools/measure_bf16_drift.py first)")
+    parser.add_argument("--mesh", default="auto",
+                        help="device mesh for train modes: 'auto' (all "
+                             "visible devices data-parallel when more than "
+                             "one), 'none' (single device), or 'DxM' (data "
+                             "x model/tensor-parallel, e.g. 4x2). Gradient "
+                             "all-reduce and head-sharded attention ride "
+                             "ICI via GSPMD collectives")
+    parser.add_argument("--seq_parallel", type=int, default=0, metavar="N",
+                        help="temporal train only: shard the TIME axis over "
+                             "an N-device ring (ring attention with in-ring "
+                             "dropout) — for windows that exceed one chip's "
+                             "memory. Mutually exclusive with --mesh")
     args = parser.parse_args(argv)
+    if args.seq_parallel and (args.model_type, args.mode) != \
+            ("temporal", "train"):
+        parser.error("--seq_parallel only applies to `temporal train`")
     if args.precision != "f32" and (args.model_type, args.mode) != \
             ("temporal", "test"):
         parser.error(
             f"--precision {args.precision} only applies to `temporal test` "
             "(rollout serving); training always runs the configured "
             "compute_dtype policy")
+
+    # Multi-host (pod / multi-slice) init must precede any device access;
+    # no-ops on single-process runs (parallel/multihost.py).
+    from sea_tpu.parallel.multihost import initialize_multihost
+    initialize_multihost()
+    mesh, seq_mesh = _resolve_meshes(parser, args)
 
     case = get_case(args.flow_type)
     if args.save_dir:
@@ -106,6 +139,7 @@ def main(argv=None):
         from sea_tpu.train.train_spatial import train as train_spatial
         if args.mode == "train":
             init_params = None
+            init_opt = None
             precomputed = None
             if args.model_path:
                 import jax
@@ -116,14 +150,15 @@ def main(argv=None):
                 from sea_tpu.models.spatial import init_spatial
                 template = init_spatial(jax.random.PRNGKey(0),
                                         precomputed.spatial_cfg)
-                init_params = _load_any_checkpoint(
+                init_params, init_opt = _load_train_checkpoint(
                     args.model_path, template, precomputed.spatial_cfg,
-                    kind="spatial")
+                    case.spatial_train, kind="spatial")
                 print(f"Continuing training from model: {args.model_path}")
             params, sd = train_spatial(case, tracker, data=data,
                                        epochs=args.epochs,
                                        init_params=init_params,
-                                       precomputed=precomputed)
+                                       init_opt_state=init_opt,
+                                       precomputed=precomputed, mesh=mesh)
             if case.spatial_train.final_save:
                 from sea_tpu.utils.checkpoint import save_checkpoint
                 save_checkpoint(case.run.save_dir, "final_model_encoder",
@@ -150,18 +185,21 @@ def main(argv=None):
         from sea_tpu.train.train_temporal import train as train_temporal
         if args.mode == "train":
             init_params = None
+            init_opt = None
             if args.model_path:
                 import jax
                 from sea_tpu.models.temporal import init_temporal
                 template = init_temporal(jax.random.PRNGKey(0),
                                          case.temporal)
-                init_params = _load_any_checkpoint(
+                init_params, init_opt = _load_train_checkpoint(
                     args.model_path, template, case.temporal,
-                    kind="temporal")
+                    case.temporal_train, kind="temporal")
                 print(f"Continuing training from model: {args.model_path}")
             params, td = train_temporal(case, tracker, data=data,
                                         epochs=args.epochs,
-                                        init_params=init_params)
+                                        init_params=init_params,
+                                        init_opt_state=init_opt,
+                                        mesh=mesh, seq_mesh=seq_mesh)
             if case.temporal_train.final_save:
                 from sea_tpu.utils.checkpoint import save_checkpoint
                 save_checkpoint(case.run.save_dir, "final_model_temporal",
@@ -196,6 +234,57 @@ def main(argv=None):
             print("Test Results:")
             for key in ("encoded_rel_mse", "decoded_rel_mse"):
                 print(f"{key}: {results[key]}")
+
+
+def _resolve_meshes(parser, args):
+    """(mesh, seq_mesh) from --mesh / --seq_parallel. Train modes only:
+    eval/rollout run single-device from the CLI (the sharded rollout is a
+    library API, parallel/train_step.make_sharded_rollout).
+
+    'auto' spans every visible device data-parallel when more than one is
+    present — a v5e-8 user gets 8-way DP without flags — and stays on the
+    plain single-device path otherwise."""
+    if args.mode != "train":
+        return None, None
+    if args.seq_parallel:
+        from sea_tpu.parallel.mesh import make_seq_mesh
+        return None, make_seq_mesh(args.seq_parallel)
+    spec = args.mesh.strip().lower()
+    if spec == "none":
+        return None, None
+    from sea_tpu.parallel.mesh import make_mesh
+    if spec == "auto":
+        import jax
+        n = len(jax.devices())
+        if n == 1:
+            return None, None
+        print(f"auto mesh: data={n} x model=1 over {n} devices")
+        return make_mesh(n_data=n, n_model=1), None
+    parts = spec.split("x")
+    if len(parts) != 2 or not all(p.isdigit() for p in parts):
+        parser.error(f"--mesh must be 'auto', 'none', or DxM (e.g. 4x2); "
+                     f"got {args.mesh!r}")
+    return make_mesh(n_data=int(parts[0]), n_model=int(parts[1])), None
+
+
+def _load_train_checkpoint(path: str, template, cfg, train_cfg, *,
+                           kind: str):
+    """(params, opt_state | None) for --model_path resume.
+
+    Our checkpoints carry optimizer state: resume continues the Adam
+    moments instead of restarting them (the reference always restarts,
+    SURVEY §5.4 — strict improvement). Reference .pt state dicts have no
+    optimizer state and resume fresh."""
+    if path.endswith(".pt"):
+        return _load_any_checkpoint(path, template, cfg, kind=kind), None
+    from sea_tpu.train.optim import make_optimizer
+    from sea_tpu.utils.checkpoint import load_full_checkpoint
+    tx = make_optimizer(train_cfg)
+    params, opt_state, _ = load_full_checkpoint(path, template,
+                                                tx.init(template))
+    if opt_state is not None:
+        print("Restored optimizer state (resume continues Adam moments)")
+    return params, opt_state
 
 
 def _load_any_checkpoint(path: str, template, cfg, *, kind: str):

@@ -72,6 +72,11 @@ class MinMaxScaler:
             # fit and load would otherwise silently mis-scale everything.
             saved = tuple(float(v) for v in data["feature_range"])
             if saved != tuple(self.feature_range):
-                print(f"{self.name}: restoring persisted feature_range "
-                      f"{saved} (config said {tuple(self.feature_range)})")
+                import warnings
+                warnings.warn(
+                    f"{self.name}: restoring persisted feature_range "
+                    f"{saved}, overriding the configured "
+                    f"{tuple(self.feature_range)} — if the range change is "
+                    "intentional, delete the stale scaler file at "
+                    f"{load_file} and re-fit", stacklevel=2)
             self.feature_range = saved

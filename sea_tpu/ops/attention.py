@@ -112,14 +112,18 @@ def mha(params, x_q, x_kv, *, n_heads: int, causal: bool, rope: bool,
             raise ValueError("impl='ring' needs a jax.sharding.Mesh with a "
                              f"'{seq_axis}' axis (see parallel.mesh."
                              "make_seq_mesh)")
-        if dropout_rate > 0.0 and not deterministic:
-            raise ValueError(
-                "ring attention has no attention-probability dropout "
-                "(online softmax over rotating k/v shards); train "
-                "sequence-parallel configs with dropout=0.0")
+        # Same semantics as the XLA fallback (layers.dropout): dropout only
+        # applies when training AND a key is provided (the pool-exchange
+        # site deliberately passes dropout_key=None).
+        seed = None
+        rate = 0.0
+        if dropout_rate > 0.0 and not deterministic and \
+                dropout_key is not None:
+            rate, seed = dropout_rate, _key_to_seed(dropout_key)
         from sea_tpu.parallel.ring_attention import ring_attention
         out = ring_attention(q, k, v, mesh, axis=seq_axis, causal=causal,
-                             src_len=src_len)
+                             src_len=src_len, dropout_rate=rate,
+                             dropout_seed=seed)
         out = out.reshape(B, Tq, C)
         return linear(params["proj"], out)
 

@@ -118,6 +118,33 @@ def _first_q(kj, *, causal, src_len, block_q, block_k):
                             // block_q))
 
 
+def dropout_scale_from_positions(seed0, seed1, bh, q_pos, k_pos, *,
+                                 rate: float):
+    """{0, 1/(1-rate)} dropout scale from GLOBAL logical positions.
+
+    Pure integer hash of (seed words, batch*head, q position, k position)
+    with murmur3-style mixing; works identically under Pallas (scalar bh,
+    iota-built positions) and plain JAX (broadcast arrays) — ring attention
+    (parallel/ring_attention.py) reuses it so sequence-parallel training
+    drops the same attention probabilities regardless of how T is sharded.
+    All integer inputs must be int32; broadcasting applies."""
+    x = (q_pos * np.int32(-1640531527)        # 0x9E3779B9: golden ratio
+         + k_pos * np.int32(0x3243F6A9)       # pi fractional bits
+         + bh * np.int32(0x27D4EB2F)
+         + seed0 * np.int32(0x165667B1)
+         + seed1)
+    u = jax.lax.bitcast_convert_type(x, jnp.uint32)
+    # murmur3 fmix32 x2 for avalanche.
+    for mult in (np.uint32(0x85EBCA6B), np.uint32(0xC2B2AE35),
+                 np.uint32(0x85EBCA6B), np.uint32(0xC2B2AE35)):
+        u = u ^ (u >> np.uint32(16))
+        u = u * mult
+    u = u ^ (u >> np.uint32(16))
+    threshold = np.uint32(min(2 ** 32 - 1, int(round(rate * 2.0 ** 32))))
+    inv = np.float32(1.0 / (1.0 - rate))
+    return jnp.where(u >= threshold, inv, np.float32(0.0))
+
+
 def _dropout_scale_mask(seed_ref, bh, q_start, k_start, *, rate: float,
                         shape):
     """{0, 1/(1-rate)} mask block from a counter-based hash.
@@ -132,21 +159,8 @@ def _dropout_scale_mask(seed_ref, bh, q_start, k_start, *, rate: float,
     fwd/bwd mask agreement; a logical-position hash cannot.)"""
     q_pos = q_start + jax.lax.broadcasted_iota(jnp.int32, shape, 0)
     k_pos = k_start + jax.lax.broadcasted_iota(jnp.int32, shape, 1)
-    x = (q_pos * np.int32(-1640531527)        # 0x9E3779B9: golden ratio
-         + k_pos * np.int32(0x3243F6A9)       # pi fractional bits
-         + bh * np.int32(0x27D4EB2F)
-         + seed_ref[0] * np.int32(0x165667B1)
-         + seed_ref[1])
-    u = jax.lax.bitcast_convert_type(x, jnp.uint32)
-    # murmur3 fmix32 x2 for avalanche.
-    for mult in (np.uint32(0x85EBCA6B), np.uint32(0xC2B2AE35),
-                 np.uint32(0x85EBCA6B), np.uint32(0xC2B2AE35)):
-        u = u ^ (u >> np.uint32(16))
-        u = u * mult
-    u = u ^ (u >> np.uint32(16))
-    threshold = np.uint32(min(2 ** 32 - 1, int(round(rate * 2.0 ** 32))))
-    inv = np.float32(1.0 / (1.0 - rate))
-    return jnp.where(u >= threshold, inv, np.float32(0.0))
+    return dropout_scale_from_positions(seed_ref[0], seed_ref[1], bh,
+                                        q_pos, k_pos, rate=rate)
 
 
 # ---------------------------------------------------------------------------

@@ -27,17 +27,26 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 
 def _block_attend(q, k, v, m, l, acc, q_off, k_off, *, scale, causal,
-                  src_len):
+                  src_len, dropout_rate=0.0, dropout_seed=None):
     """One flash-style accumulation step of local q against one k/v block.
 
     q: [B, Tq, H, hd]; k/v: [B, Tk, H, hd]; m/l: [B, H, Tq, 1] running
     max / normalizer; acc: [B, Tq, H, hd] f32. Offsets are the blocks'
     global sequence positions.
+
+    Dropout (training): the same counter-hash mask as the flash kernel
+    (ops/flash_attention.dropout_scale_from_positions), keyed on GLOBAL
+    (q, k) positions — so the mask is identical no matter how the sequence
+    is sharded around the ring. The normalizer l accumulates UNdropped
+    probabilities (dropout applies to the normalized probs, torch
+    F.dropout-after-softmax semantics); only the value accumulation is
+    masked.
     """
+    B, Tq, H, hd = q.shape
+    Tk = k.shape[1]
     s = jnp.einsum("bqhd,bkhd->bhqk", q, k,
                    preferred_element_type=jnp.float32) * scale
     if causal:
-        Tq, Tk = q.shape[1], k.shape[1]
         q_pos = q_off + jnp.arange(Tq)[:, None]
         k_pos = k_off + jnp.arange(Tk)[None, :]
         mask = k_pos <= q_pos + src_len
@@ -47,7 +56,19 @@ def _block_attend(q, k, v, m, l, acc, q_off, k_off, *, scale, causal,
     alpha = jnp.exp(m - m_new)
     p = jnp.exp(s - m_new)
     l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
-    pv = jnp.einsum("bhqk,bkhd->bqhd", p.astype(v.dtype), v,
+    if dropout_rate > 0.0:
+        from sea_tpu.ops.flash_attention import dropout_scale_from_positions
+        shape4 = (B, H, Tq, Tk)
+        bh = (jax.lax.broadcasted_iota(jnp.int32, shape4, 0) * H
+              + jax.lax.broadcasted_iota(jnp.int32, shape4, 1))
+        qp = q_off + jax.lax.broadcasted_iota(jnp.int32, shape4, 2)
+        kp = k_off + jax.lax.broadcasted_iota(jnp.int32, shape4, 3)
+        drop = dropout_scale_from_positions(dropout_seed[0], dropout_seed[1],
+                                            bh, qp, kp, rate=dropout_rate)
+        p_acc = p * drop
+    else:
+        p_acc = p
+    pv = jnp.einsum("bhqk,bkhd->bqhd", p_acc.astype(v.dtype), v,
                     preferred_element_type=jnp.float32)
     # alpha is [B,H,Tq,1]; acc is [B,Tq,H,hd].
     acc_new = acc * alpha.transpose(0, 2, 1, 3) + pv
@@ -55,21 +76,31 @@ def _block_attend(q, k, v, m, l, acc, q_off, k_off, *, scale, causal,
 
 
 def ring_attention(q, k, v, mesh: Mesh, *, axis: str = "seq",
-                   causal: bool = True, src_len: int = 0):
+                   causal: bool = True, src_len: int = 0,
+                   dropout_rate: float = 0.0, dropout_seed=None):
     """q, k, v: [B, T, H, hd] (replicated or already sharded on axis 1).
 
     Returns [B, T, H, hd], sharded on axis 1 over ``axis``. Inside the
     shard_map body every device starts with its own k/v shard and passes it
     around the ring; after n_dev steps each q shard has attended to the
     whole sequence with O(T/n) resident memory.
+
+    ``dropout_rate`` > 0 (training) needs ``dropout_seed`` (int32[2] seed
+    words, ops.attention._key_to_seed): attention-probability dropout via
+    the flash kernel's global-position counter hash, identical for every
+    ring size — the shipped cylinder recipe (dropout 0.1) trains
+    sequence-parallel unmodified.
     """
     n_dev = mesh.shape[axis]
     B, T, H, hd = q.shape
     assert T % n_dev == 0, (T, n_dev)
+    if dropout_rate > 0.0 and dropout_seed is None:
+        raise ValueError("ring attention dropout needs dropout_seed "
+                         "(int32[2] seed words)")
     scale = hd ** -0.5
     spec = P(None, axis, None, None)
 
-    def body(q_loc, k_loc, v_loc):
+    def body(q_loc, k_loc, v_loc, seed):
         idx = jax.lax.axis_index(axis)
         Tl = q_loc.shape[1]
         q_off = idx * Tl
@@ -90,7 +121,8 @@ def ring_attention(q, k, v, mesh: Mesh, *, axis: str = "seq",
             m, l, acc, k_cur, v_cur, k_off = args
             return _block_attend(q_loc, k_cur, v_cur, m, l, acc, q_off,
                                  k_off, scale=scale, causal=causal,
-                                 src_len=src_len)
+                                 src_len=src_len, dropout_rate=dropout_rate,
+                                 dropout_seed=seed)
 
         # Attend the local block, then rotate n_dev-1 times (rotating after
         # the final block would be a wasted ICI send of the full shard).
@@ -121,5 +153,8 @@ def ring_attention(q, k, v, mesh: Mesh, *, axis: str = "seq",
         return out.astype(q_loc.dtype)
 
     shmapped = jax.shard_map(body, mesh=mesh,
-                             in_specs=(spec, spec, spec), out_specs=spec)
-    return shmapped(q, k, v)
+                             in_specs=(spec, spec, spec, P()),
+                             out_specs=spec)
+    if dropout_seed is None:
+        dropout_seed = jnp.zeros((2,), jnp.int32)
+    return shmapped(q, k, v, jnp.asarray(dropout_seed, jnp.int32))

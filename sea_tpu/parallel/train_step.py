@@ -31,30 +31,39 @@ from sea_tpu.rollout.engine import rollout_scan
 from sea_tpu.train import metrics as M
 
 
-def _place_state(mesh, params, pspec, tx):
+def _place_state(mesh, params, pspec, tx, init_opt_state=None):
     """Place params per the TP spec and build optimizer state *under jit*
-    with unspecified out_shardings so moments inherit the param shardings."""
+    with unspecified out_shardings so moments inherit the param shardings.
+    ``init_opt_state`` (checkpoint resume): restored host values are placed
+    onto the shardings GSPMD chose for a fresh init — Adam moments continue
+    on the mesh exactly where the run left off."""
     placed_params = jax.device_put(params, pspec)
     placed_opt = jax.jit(tx.init)(placed_params)
+    if init_opt_state is not None:
+        placed_opt = jax.tree.map(
+            lambda restored, fresh: jax.device_put(
+                jnp.asarray(restored), fresh.sharding),
+            init_opt_state, placed_opt)
     return placed_params, placed_opt
 
 
 def make_sharded_temporal_train_step(mesh: Mesh, cfg: TemporalModelConfig,
                                      tx, params, *,
-                                     compute_dtype: str = "float32"):
+                                     compute_dtype: str = "float32",
+                                     init_opt_state=None):
     pspec = temporal_param_shardings(mesh, params)
-    placed_params, placed_opt = _place_state(mesh, params, pspec, tx)
-    cast = compute_dtype == "bfloat16"
+    placed_params, placed_opt = _place_state(mesh, params, pspec, tx,
+                                             init_opt_state)
+    from sea_tpu.utils.precision import train_cast
+    cast_p, cast_x = train_cast(compute_dtype)
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def step(params, opt_state, src, tgt, ib, rng):
         def loss_fn(p):
-            if cast:
-                from sea_tpu.utils.precision import cast_weights_bf16
-                p = cast_weights_bf16(p)
-            out = temporal_forward(p, cfg, src, ib, rng=rng,
+            s, i = cast_x(src, ib)
+            out = temporal_forward(cast_p(p), cfg, s, i, rng=rng,
                                    deterministic=False)
-            return M.mse(out, tgt)
+            return M.mse(out.astype(jnp.float32), tgt)
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = tx.update(grads, opt_state, params)
         stats = {"loss": loss, "grad_norm": optax.global_norm(grads),
@@ -75,7 +84,8 @@ def make_sharded_spatial_train_step(mesh: Mesh, cfg: SpatialModelConfig,
                                     compute_dtype: str = "float32",
                                     kl_weight_min: float = 0.0,
                                     kl_weight_max: float = 0.0,
-                                    total_steps: int = 1):
+                                    total_steps: int = 1,
+                                    init_opt_state=None):
     """Signature-compatible with train_spatial.make_train_step: the jitted
     step takes (params, opt_state, batch, rng, iteration) and returns the
     same stats dict, so the training loop is identical on both paths.
@@ -83,26 +93,29 @@ def make_sharded_spatial_train_step(mesh: Mesh, cfg: SpatialModelConfig,
     KL sum and the reparameterization noise are batch-local, so GSPMD only
     inserts the usual gradient all-reduce."""
     pspec = spatial_param_shardings(mesh, params)
-    placed_params, placed_opt = _place_state(mesh, params, pspec, tx)
-    cast = compute_dtype == "bfloat16"
+    placed_params, placed_opt = _place_state(mesh, params, pspec, tx,
+                                             init_opt_state)
+    from sea_tpu.utils.precision import train_cast
+    cast_p, cast_x = train_cast(compute_dtype)
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def step(params, opt_state, batch, rng, iteration):
         def loss_fn(p):
-            if cast:
-                from sea_tpu.utils.precision import cast_weights_bf16
-                p = cast_weights_bf16(p)
+            p = cast_p(p)
+            (x,) = cast_x(batch)
             if cfg.variational:
-                recon, mu, logvar = spatial_forward(p, cfg, batch, rng=rng,
+                recon, mu, logvar = spatial_forward(p, cfg, x, rng=rng,
                                                     deterministic=False)
                 total, recon_loss, kl = M.vloss(
-                    batch, recon, mu, logvar, kl_weight_min=kl_weight_min,
+                    batch, recon.astype(jnp.float32),
+                    mu.astype(jnp.float32), logvar.astype(jnp.float32),
+                    kl_weight_min=kl_weight_min,
                     kl_weight_max=kl_weight_max, iteration=iteration,
                     total_steps=total_steps)
                 return total, (recon, recon_loss, kl)
-            recon = spatial_forward(p, cfg, batch, rng=rng,
+            recon = spatial_forward(p, cfg, x, rng=rng,
                                     deterministic=False)
-            loss = M.mse(recon, batch)
+            loss = M.mse(recon.astype(jnp.float32), batch)
             return loss, (recon, loss, jnp.zeros(()))
         (loss, (recon, recon_loss, kl)), grads = \
             jax.value_and_grad(loss_fn, has_aux=True)(params)
@@ -121,31 +134,34 @@ def make_sharded_spatial_train_step(mesh: Mesh, cfg: SpatialModelConfig,
 
 
 def make_seq_parallel_train_step(mesh: Mesh, cfg: TemporalModelConfig,
-                                 tx, params):
+                                 tx, params, *, init_opt_state=None):
     """Sequence-parallel (ring attention) teacher-forced training: the TIME
     axis of src/tgt/ib shards over the mesh's 'seq' axis, params replicate,
     and every attention runs as a ring (parallel/ring_attention.py) — each
     device holds T/n of the sequence, so T can exceed one chip's memory.
     The reference caps T at its [2024^2] mask buffer
     (/root/reference/models/base_blocks.py:173); this is the growth path
-    past that. Requires cfg.dropout == 0.0 (no in-ring dropout) and T
-    divisible by the ring size."""
-    if cfg.dropout != 0.0:
-        raise ValueError("sequence-parallel training requires dropout=0.0 "
-                         "(ring attention has no attention-prob dropout)")
+    past that. Requires T divisible by the ring size. Attention-probability
+    dropout (e.g. the shipped cylinder recipe's 0.1) runs in-ring via the
+    flash kernel's global-position counter-hash mask — identical mask for
+    any ring size."""
     from sea_tpu.parallel.mesh import replicate, shard_seq
     placed_params = replicate(mesh, params)
-    placed_opt = replicate(mesh, tx.init(params))
+    placed_opt = replicate(mesh, init_opt_state if init_opt_state is not None
+                           else tx.init(params))
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def step(params, opt_state, src, tgt, ib):
+    def step(params, opt_state, src, tgt, ib, rng):
         def loss_fn(p):
-            out = temporal_forward(p, cfg, src, ib, seq_mesh=mesh)
+            out = temporal_forward(p, cfg, src, ib, seq_mesh=mesh, rng=rng,
+                                   deterministic=False)
             return M.mse(out, tgt)
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = tx.update(grads, opt_state, params)
+        stats = {"loss": loss, "grad_norm": optax.global_norm(grads),
+                 "param_norm": optax.global_norm(params)}
         params = optax.apply_updates(params, updates)
-        return params, opt_state, loss
+        return params, opt_state, stats
 
     def place_batch(src, tgt, ib):
         return (shard_seq(mesh, jnp.asarray(src)),

@@ -74,12 +74,21 @@ def masked_kl(mu, logvar, n_valid):
     return -0.5 * jnp.sum(w * (1 + logvar - mu ** 2 - jnp.exp(logvar)))
 
 
+def kl_anneal_weight(kl_weight_min: float, kl_weight_max: float, iteration,
+                     total_steps: int):
+    """Linear KL anneal min->max over total_steps (train_utils.py:26).
+    Single source of truth: used by vloss (train) AND the masked eval path
+    (train_spatial.make_eval_step) so the schedules cannot diverge."""
+    return kl_weight_min + (kl_weight_max - kl_weight_min) * (
+        iteration / total_steps)
+
+
 def vloss(x, recon, mu, logvar, *, kl_weight_min: float, kl_weight_max: float,
           iteration, total_steps: int):
     """Returns (total, recon_loss, kl_loss). KL weight anneals linearly from
     min to max over total_steps (train_utils.py:26)."""
-    kl_weight = kl_weight_min + (kl_weight_max - kl_weight_min) * (
-        iteration / total_steps)
+    kl_weight = kl_anneal_weight(kl_weight_min, kl_weight_max, iteration,
+                                 total_steps)
     recon_loss = mse(recon, x)
     kl = -0.5 * jnp.sum(1 + logvar - mu ** 2 - jnp.exp(logvar))
     return recon_loss + kl_weight * kl, recon_loss, kl

@@ -34,7 +34,8 @@ from sea_tpu.parallel.multihost import is_primary
 from sea_tpu.train import metrics as M
 from sea_tpu.train.optim import make_optimizer
 from sea_tpu.train.tracking import BaseErrorTracker, NoOpErrorTracker
-from sea_tpu.utils.checkpoint import save_checkpoint
+from sea_tpu.utils.checkpoint import (multihost_checkpointing,
+                                      save_checkpoint, snapshot_tree)
 
 
 @dataclasses.dataclass
@@ -78,25 +79,29 @@ def process_data(case: CaseConfig, *, data=None) -> SpatialData:
 def make_train_step(cfg: SpatialModelConfig, tx, *, kl_weight_min=0.0,
                     kl_weight_max=0.0, total_steps: int = 1,
                     compute_dtype: str = "float32"):
-    cast = compute_dtype == "bfloat16"
+    from sea_tpu.utils.precision import train_cast
+    cast_p, cast_x = train_cast(compute_dtype)
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def step(params, opt_state, batch, rng, iteration):
         def loss_fn(p):
-            if cast:
-                from sea_tpu.utils.precision import cast_weights_bf16
-                p = cast_weights_bf16(p)
+            p = cast_p(p)
+            (x,) = cast_x(batch)
             if cfg.variational:
-                recon, mu, logvar = spatial_forward(p, cfg, batch, rng=rng,
+                recon, mu, logvar = spatial_forward(p, cfg, x, rng=rng,
                                                     deterministic=False)
+                # Loss terms (incl. KL's exp(logvar)) in f32 vs the f32
+                # batch, whatever the forward's compute dtype.
                 total, recon_loss, kl = M.vloss(
-                    batch, recon, mu, logvar, kl_weight_min=kl_weight_min,
+                    batch, recon.astype(jnp.float32),
+                    mu.astype(jnp.float32), logvar.astype(jnp.float32),
+                    kl_weight_min=kl_weight_min,
                     kl_weight_max=kl_weight_max, iteration=iteration,
                     total_steps=total_steps)
                 return total, (recon, recon_loss, kl)
-            recon = spatial_forward(p, cfg, batch, rng=rng,
+            recon = spatial_forward(p, cfg, x, rng=rng,
                                     deterministic=False)
-            loss = M.mse(recon, batch)
+            loss = M.mse(recon.astype(jnp.float32), batch)
             return loss, (recon, loss, jnp.zeros(()))
         (loss, (recon, recon_loss, kl)), grads = \
             jax.value_and_grad(loss_fn, has_aux=True)(params)
@@ -122,8 +127,8 @@ def make_eval_step(cfg: SpatialModelConfig, *, kl_weight_min=0.0,
     def step(params, batch, n_valid, iteration):
         if cfg.variational:
             recon, mu, logvar = spatial_forward(params, cfg, batch)
-            kl_weight = kl_weight_min + (kl_weight_max - kl_weight_min) * (
-                iteration / total_steps)
+            kl_weight = M.kl_anneal_weight(kl_weight_min, kl_weight_max,
+                                           iteration, total_steps)
             recon_loss = M.masked_mse(recon, batch, n_valid)
             kl = M.masked_kl(mu, logvar, n_valid)
             total = recon_loss + kl_weight * kl
@@ -140,7 +145,7 @@ def train(case: CaseConfig,
           error_tracker: Optional[BaseErrorTracker] = None, *,
           data=None, seed: int = 0,
           epochs: Optional[int] = None,
-          init_params=None, mesh=None,
+          init_params=None, init_opt_state=None, mesh=None,
           precomputed: Optional[SpatialData] = None
           ) -> Tuple[Any, SpatialData]:
     """Returns (best params, data). ``epochs`` overrides the config (for
@@ -168,16 +173,24 @@ def train(case: CaseConfig,
     total_steps = max(1, (n_epochs * len(sd.train))
                       // max(1, tcfg.batch_size))
     place_batch = None
+    batch_size = tcfg.batch_size
     if mesh is not None:
+        n_data = mesh.shape["data"]
+        batch_size = -(-batch_size // n_data) * n_data
+        if batch_size != tcfg.batch_size:
+            print(f"note: batch size {tcfg.batch_size} -> {batch_size} "
+                  f"(next multiple of the mesh data axis {n_data})")
         from sea_tpu.parallel.train_step import \
             make_sharded_spatial_train_step
         train_step, params, opt_state, place_batch = \
             make_sharded_spatial_train_step(
                 mesh, cfg, tx, params, compute_dtype=tcfg.compute_dtype,
                 kl_weight_min=tcfg.kl_weight_min,
-                kl_weight_max=tcfg.kl_weight_max, total_steps=total_steps)
+                kl_weight_max=tcfg.kl_weight_max, total_steps=total_steps,
+                init_opt_state=init_opt_state)
     else:
-        opt_state = tx.init(params)
+        opt_state = (jax.tree.map(jnp.asarray, init_opt_state)
+                     if init_opt_state is not None else tx.init(params))
         train_step = make_train_step(cfg, tx,
                                      kl_weight_min=tcfg.kl_weight_min,
                                      kl_weight_max=tcfg.kl_weight_max,
@@ -191,7 +204,7 @@ def train(case: CaseConfig,
     # Copy before the first train step: donate_argnums invalidates
     # the initial buffers, and best_params must survive a run where
     # validation never improves.
-    best_params = jax.tree.map(np.asarray, params)
+    best_params = snapshot_tree(params)
     iteration = 0
     start = time.time()
 
@@ -199,7 +212,7 @@ def train(case: CaseConfig,
         agg = {"loss": 0.0, "recon_loss": 0.0, "kl_loss": 0.0, "r2": 0.0,
                "grad_norm": 0.0, "param_norm": 0.0}
         nb = 0
-        for (batch,) in batch_iterator([sd.train], tcfg.batch_size,
+        for (batch,) in batch_iterator([sd.train], batch_size,
                                        shuffle=True,
                                        seed=case.spatial_split.random_seed,
                                        epoch=epoch, drop_remainder=True):
@@ -214,7 +227,11 @@ def train(case: CaseConfig,
             nb += 1
             iteration += 1
         if nb == 0:
-            raise ValueError("train split smaller than one batch")
+            raise ValueError(
+                f"train split has fewer than one batch of {batch_size} "
+                f"snapshots" + (" (batch was rounded up for the device "
+                                "mesh; use a smaller --mesh data axis)"
+                                if mesh is not None else ""))
         train_metrics = {"Loss": agg["loss"] / nb,
                          "Recon_Loss": agg["recon_loss"] / nb,
                          "R2": agg["r2"] / nb,
@@ -251,13 +268,15 @@ def train(case: CaseConfig,
             # full state (multi-host hygiene, parallel/multihost.py).
             if val_metrics["Recon_Loss"] < best_val:
                 best_val = val_metrics["Recon_Loss"]
-                best_params = jax.tree.map(lambda x: np.asarray(x), params)
-                if is_primary():
+                best_params = snapshot_tree(params)
+                # Orbax saves are collective on a pod (see train_temporal).
+                if is_primary() or multihost_checkpointing():
                     save_checkpoint(
                         case.run.save_dir, "encoder_decoder",
                         case.run.case_name, case.run.run_name, best_params,
-                        opt_state=jax.tree.map(np.asarray, opt_state),
-                        meta={"epoch": epoch, "val_loss": best_val})
+                        opt_state=snapshot_tree(opt_state),
+                        meta={"epoch": epoch, "val_loss": best_val},
+                        use_orbax=multihost_checkpointing())
                     print("--- New Best Model Saved ---")
 
     print(f"Total training time: {time.time() - start:.2f} seconds")

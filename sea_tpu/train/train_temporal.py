@@ -39,7 +39,8 @@ from sea_tpu.train.evaluate import full_autoregressive_evaluation
 from sea_tpu.train.optim import make_optimizer
 from sea_tpu.train.tracking import BaseErrorTracker, NoOpErrorTracker
 from sea_tpu.utils.checkpoint import (checkpoint_path, load_params,
-                                      save_checkpoint)
+                                      multihost_checkpointing,
+                                      save_checkpoint, snapshot_tree)
 
 
 @dataclasses.dataclass
@@ -111,20 +112,20 @@ def process_data(case: CaseConfig, *, data=None,
 
 def make_train_step(cfg: TemporalModelConfig, tx, *,
                     compute_dtype: str = "float32"):
-    """compute_dtype='bfloat16' runs the forward/backward with bf16 matmul
-    weights while AdamW keeps f32 master params (mixed-precision policy;
-    loss and softmax statistics stay f32)."""
-    cast = compute_dtype == "bfloat16"
+    """Numerics policy (utils.precision.train_cast): 'bfloat16' casts the
+    big matmul weights inside the loss; 'bfloat16_mixed' additionally runs
+    bf16 activations (f32 softmax/LN-stats/loss). AdamW keeps f32 master
+    params either way."""
+    from sea_tpu.utils.precision import train_cast
+    cast_p, cast_x = train_cast(compute_dtype)
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def step(params, opt_state, src, tgt, ib, rng):
         def loss_fn(p):
-            if cast:
-                from sea_tpu.utils.precision import cast_weights_bf16
-                p = cast_weights_bf16(p)
-            out = temporal_forward(p, cfg, src, ib, rng=rng,
+            s, i = cast_x(src, ib)
+            out = temporal_forward(cast_p(p), cfg, s, i, rng=rng,
                                    deterministic=False)
-            return M.mse(out, tgt)
+            return M.mse(out.astype(jnp.float32), tgt)
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = tx.update(grads, opt_state, params)
         # wandb.watch equivalent (train_utils.py:75-76): global grad/param
@@ -150,12 +151,24 @@ def train(case: CaseConfig,
           error_tracker: Optional[BaseErrorTracker] = None, *,
           data=None, spatial_params=None, seed: int = 0,
           epochs: Optional[int] = None,
-          init_params=None, save_artifacts: bool = True,
-          mesh=None) -> Tuple[Any, TemporalData]:
+          init_params=None, init_opt_state=None,
+          save_artifacts: bool = True,
+          mesh=None, seq_mesh=None) -> Tuple[Any, TemporalData]:
     """``mesh``: optional jax.sharding.Mesh — runs the whole loop
     data-parallel (batches sharded over the 'data' axis, attention weights
     over 'model'); same numerics as single-device (tests/test_parallel.py).
-    Batch size must be divisible by the mesh's data axis."""
+    When batch size isn't divisible by the mesh's data axis it is rounded
+    UP to the next multiple (each device keeps >= 1 windows per step; the
+    reference recipe's global batch is a lower bound under DP scaling).
+
+    ``seq_mesh``: optional Mesh with a 'seq' axis — sequence-parallel
+    training: the TIME axis of every batch shards across the ring and all
+    attention runs as ring attention (in-ring counter-hash dropout included,
+    so the shipped recipes train unmodified). Mutually exclusive with
+    ``mesh``; requires dataset_src_len divisible by the ring size."""
+    if mesh is not None and seq_mesh is not None:
+        raise ValueError("pass either mesh (DP x TP) or seq_mesh "
+                         "(sequence-parallel), not both")
     tracker = error_tracker or NoOpErrorTracker()
     tcfg = case.temporal_train
     td = process_data(case, data=data, spatial_params=spatial_params)
@@ -166,14 +179,33 @@ def train(case: CaseConfig,
     params = init_params if init_params is not None \
         else init_temporal(init_key, cfg)
     tx = make_optimizer(tcfg)
+    batch_size = tcfg.batch_size
     if mesh is not None:
+        n_data = mesh.shape["data"]
+        batch_size = -(-batch_size // n_data) * n_data
+        if batch_size != tcfg.batch_size:
+            print(f"note: batch size {tcfg.batch_size} -> {batch_size} "
+                  f"(next multiple of the mesh data axis {n_data})")
         from sea_tpu.parallel.train_step import \
             make_sharded_temporal_train_step
         train_step, params, opt_state, place_batch = \
             make_sharded_temporal_train_step(
-                mesh, cfg, tx, params, compute_dtype=tcfg.compute_dtype)
+                mesh, cfg, tx, params, compute_dtype=tcfg.compute_dtype,
+                init_opt_state=init_opt_state)
+    elif seq_mesh is not None:
+        ring = seq_mesh.shape["seq"]
+        if tcfg.dataset_src_len % ring != 0:
+            raise ValueError(
+                f"sequence-parallel training needs dataset_src_len "
+                f"({tcfg.dataset_src_len}) divisible by the ring size "
+                f"({ring}); adjust --seq_parallel or the window length")
+        from sea_tpu.parallel.train_step import make_seq_parallel_train_step
+        train_step, params, opt_state, place_batch = \
+            make_seq_parallel_train_step(seq_mesh, cfg, tx, params,
+                                         init_opt_state=init_opt_state)
     else:
-        opt_state = tx.init(params)
+        opt_state = (jax.tree.map(jnp.asarray, init_opt_state)
+                     if init_opt_state is not None else tx.init(params))
         train_step = make_train_step(cfg, tx,
                                      compute_dtype=tcfg.compute_dtype)
         place_batch = None
@@ -185,7 +217,7 @@ def train(case: CaseConfig,
     # Copy before the first train step: donate_argnums invalidates
     # the initial buffers, and best_params must survive a run where
     # validation never improves.
-    best_params = jax.tree.map(np.asarray, params)
+    best_params = snapshot_tree(params)
     start = time.time()
 
     for epoch in range(1, n_epochs + 1):
@@ -201,7 +233,7 @@ def train(case: CaseConfig,
         for src, tgt, _, ib in batch_iterator(
                 [train_windows.src, train_windows.tgt,
                  train_windows.tgt_original,
-                 train_windows.ib], tcfg.batch_size, shuffle=True,
+                 train_windows.ib], batch_size, shuffle=True,
                 seed=case.temporal_split.random_seed, epoch=epoch,
                 drop_remainder=True):
             rng, step_key = jax.random.split(rng)
@@ -216,7 +248,11 @@ def train(case: CaseConfig,
                 agg[k] += float(stats[k])
             nb += 1
         if nb == 0:
-            raise ValueError("train split smaller than one batch")
+            raise ValueError(
+                f"train split has fewer than one batch of {batch_size} "
+                f"windows" + (" (batch was rounded up for the device mesh; "
+                              "use a smaller --mesh data axis or more data)"
+                              if mesh is not None else ""))
         train_loss = agg["loss"] / nb
         tracker.record_error("train", epoch, {
             "Loss": train_loss, "Grad_Norm": agg["grad_norm"] / nb,
@@ -247,13 +283,14 @@ def train(case: CaseConfig,
                     results["decoded_rel_mse"]
                 if results["decoded_rel_mse"] < best_rollout:
                     best_rollout = results["decoded_rel_mse"]
-                    if is_primary():
+                    if is_primary() or multihost_checkpointing():
                         save_checkpoint(
                             case.run.save_dir, "temporal_Checkpoint",
                             case.run.case_name, case.run.run_name,
-                            jax.tree.map(np.asarray, params),
+                            snapshot_tree(params),
                             meta={"epoch": epoch,
-                                  "decoded_rel_mse": best_rollout})
+                                  "decoded_rel_mse": best_rollout},
+                            use_orbax=multihost_checkpointing())
                         print("--- Checkpoint Model Saved ---")
 
             tracker.record_error("val", epoch, val_metrics)
@@ -262,13 +299,17 @@ def train(case: CaseConfig,
 
             if val_loss < best_val:
                 best_val = val_loss
-                best_params = jax.tree.map(np.asarray, params)
-                if is_primary():
+                best_params = snapshot_tree(params)
+                # Orbax saves are collective: on a pod EVERY process
+                # enters (each persists its addressable shards); the npz
+                # path writes from process 0 only.
+                if is_primary() or multihost_checkpointing():
                     save_checkpoint(
                         case.run.save_dir, "temporal",
                         case.run.case_name, case.run.run_name, best_params,
-                        opt_state=jax.tree.map(np.asarray, opt_state),
-                        meta={"epoch": epoch, "val_loss": best_val})
+                        opt_state=snapshot_tree(opt_state),
+                        meta={"epoch": epoch, "val_loss": best_val},
+                        use_orbax=multihost_checkpointing())
                     print("--- New Best Model Saved ---")
 
     print(f"Total training time: {time.time() - start:.2f} seconds")

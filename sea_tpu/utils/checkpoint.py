@@ -2,12 +2,20 @@
 
 The reference saves bare ``model.state_dict()`` .pt files keyed by
 case/run name, never saves optimizer state, and "resume" restarts the
-optimizer fresh (SURVEY §5.4). Here checkpoints are orbax pytrees carrying
-params AND optimizer state plus step metadata — strictly more capable while
-keeping the same best-model-selection semantics in the training drivers.
-(--model_path resume currently restores params only — a fresh optimizer —
-matching the reference's resume semantics; restore_pytree can recover
-opt_state with a {"params": ..., "opt_state": ...} template when needed.)
+optimizer fresh (SURVEY §5.4). Here a checkpoint is a flat .npz of the
+pytree leaves keyed by path — params AND optimizer state plus step
+metadata — strictly more capable while keeping the same
+best-model-selection semantics in the training drivers. ``--model_path``
+resume restores the optimizer state too when the checkpoint carries one
+(load_full_checkpoint); reference .pt state dicts (no opt state) resume
+with a fresh optimizer, matching the reference.
+
+Multi-host runs save through orbax instead (save_checkpoint with
+use_orbax=True, auto-selected by the drivers when jax.process_count() > 1):
+npz requires fully-addressable host copies, which tensor-parallel shards
+on a pod are not; orbax writes each process's addressable shards and
+restores onto device shardings (restore paths accept either format —
+a .npz file or an orbax directory).
 
 Checkpoint families mirror the reference naming:
 - encoder_decoder_{case}_{run}   (best val recon, train_encoder.py:300-306)
@@ -104,26 +112,108 @@ def checkpoint_path(save_dir: str, kind: str, case_name: str,
 
 def save_checkpoint(save_dir: str, kind: str, case_name: str, run_name: str,
                     params: Any, opt_state: Any = None,
-                    meta: Optional[Dict[str, Any]] = None) -> str:
-    path = checkpoint_path(save_dir, kind, case_name, run_name)
+                    meta: Optional[Dict[str, Any]] = None,
+                    use_orbax: bool = False) -> str:
+    """``use_orbax=True`` writes an orbax directory (multi-host safe: each
+    process persists its addressable shards; arrays may stay on device) at
+    the npz path minus the extension; otherwise a flat npz of host copies."""
     tree = {"params": params}
     if opt_state is not None:
         tree["opt_state"] = opt_state
     if meta:
         tree["meta"] = {k: np.asarray(v) for k, v in meta.items()}
+    if use_orbax:
+        path = orbax_checkpoint_dir(save_dir, kind, case_name, run_name)
+        return save_checkpoint_orbax(path, tree)
+    path = checkpoint_path(save_dir, kind, case_name, run_name)
     save_pytree(path, tree)
     return path
 
 
-def load_params(path: str, params_template: Any) -> Any:
-    """Load just the params subtree from a checkpoint file.
+def orbax_checkpoint_dir(save_dir: str, kind: str, case_name: str,
+                         run_name: str) -> str:
+    return os.path.join(save_dir, f"{kind}_{case_name}_{run_name}.orbax")
 
-    Accepts either our .npz checkpoints or a reference torch .pt state dict
-    (detected by extension) — the latter goes through torch_compat at the
-    caller, which needs model configs, so here we only handle .npz.
+
+def _is_orbax_dir(path: str) -> bool:
+    return os.path.isdir(path)
+
+
+def load_params(path: str, params_template: Any) -> Any:
+    """Load just the params subtree from a checkpoint.
+
+    Accepts our .npz checkpoints OR an orbax checkpoint directory (saved by
+    multi-host runs). Reference torch .pt state dicts are handled by the
+    caller via torch_compat (they need model configs).
     """
+    if _is_orbax_dir(path):
+        return restore_checkpoint_orbax(path)["params"]
     tree = restore_pytree(path, {"params": params_template})
     return tree["params"]
+
+
+def load_full_checkpoint(path: str, params_template: Any,
+                         opt_template: Any = None):
+    """(params, opt_state | None, meta dict) from a checkpoint.
+
+    opt_state comes back only when BOTH the checkpoint carries one and an
+    ``opt_template`` (e.g. ``tx.init(params_template)``) is supplied — the
+    npz format needs a structure template to rebuild optax namedtuples.
+    Resume with a restored optimizer continues Adam moments/schedule where
+    the run left off (the reference always restarts the optimizer,
+    SURVEY §5.4 — a strict improvement, noted divergence).
+    """
+    if _is_orbax_dir(path):
+        tree = restore_checkpoint_orbax(path)
+        # Orbax returns plain containers; rebuild optax namedtuples from
+        # the template when given.
+        opt = tree.get("opt_state")
+        if opt is not None and opt_template is not None:
+            leaves = jax_tree_leaves(opt)
+            opt = jax_tree_unflatten(opt_template, leaves)
+        elif opt_template is None:
+            opt = None
+        return tree["params"], opt, tree.get("meta", {})
+    if not path.endswith(".npz"):
+        path = path + ".npz"
+    with np.load(path) as data:
+        has_opt = any(k.startswith("opt_state/") for k in data.files)
+        meta = {k.split("/", 1)[1]: data[k] for k in data.files
+                if k.startswith("meta/")}
+    template = {"params": params_template}
+    if has_opt and opt_template is not None:
+        template["opt_state"] = opt_template
+    tree = restore_pytree(path, template)
+    return tree["params"], tree.get("opt_state"), meta
+
+
+def jax_tree_leaves(tree):
+    import jax
+    return jax.tree.leaves(tree)
+
+
+def jax_tree_unflatten(template, leaves):
+    import jax
+    return jax.tree.unflatten(jax.tree.structure(template), leaves)
+
+
+def snapshot_tree(tree):
+    """Checkpoint-safe copy of a (possibly donated) pytree.
+
+    Single-process: host numpy copies (what the npz format wants). On a
+    multi-host pod np.asarray would fail for non-fully-addressable shards,
+    so keep device copies — orbax persists each process's shards directly.
+    """
+    import jax
+    if jax.process_count() == 1:
+        return jax.tree.map(np.asarray, tree)
+    return jax.tree.map(lambda x: x.copy() if hasattr(x, "copy") else x,
+                        tree)
+
+
+def multihost_checkpointing() -> bool:
+    import jax
+    return jax.process_count() > 1
 
 
 # ---------------------------------------------------------------------------

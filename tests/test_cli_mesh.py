@@ -1,0 +1,77 @@
+"""Multi-chip through the USER surface: `python -m sea_tpu.cli ... --mesh`.
+
+Round-2 verdict item #1: the parallel stack must be reachable from the CLI,
+not only as a library. These tests drive cli.main() on the virtual 8-device
+CPU mesh with the real shipped cylinder_flow preset (tiny synthetic data),
+covering --mesh DxM, --mesh auto, and --seq_parallel N.
+"""
+
+import os
+
+import jax
+import pytest
+
+from sea_tpu import cli
+
+requires_8 = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs 8 virtual devices")
+
+
+def test_mesh_flag_parsing_errors(capsys):
+    with pytest.raises(SystemExit):
+        cli.main(["cylinder_flow", "temporal", "train", "--synthetic",
+                  "--mesh", "4by2"])
+    assert "--mesh" in capsys.readouterr().err
+    with pytest.raises(SystemExit):
+        cli.main(["cylinder_flow", "temporal", "test", "--synthetic",
+                  "--seq_parallel", "4"])
+    assert "--seq_parallel" in capsys.readouterr().err
+
+
+@requires_8
+@pytest.mark.heavy
+def test_cli_trains_both_stages_on_explicit_mesh(tmp_path):
+    """encoder + temporal training sharded 4x2 (DP x TP) from the command
+    line; checkpoints land under the usual family names."""
+    save = str(tmp_path)
+    cli.main(["cylinder_flow", "encoder", "train", "--synthetic",
+              "--epochs", "1", "--save_dir", save, "--mesh", "4x2"])
+    assert os.path.exists(
+        os.path.join(save, "encoder_decoder_cylinder_flow_run1.npz"))
+    cli.main(["cylinder_flow", "temporal", "train", "--synthetic",
+              "--epochs", "1", "--save_dir", save, "--mesh", "4x2"])
+    assert os.path.exists(
+        os.path.join(save, "temporal_cylinder_flow_run1.npz"))
+
+
+@requires_8
+@pytest.mark.heavy
+def test_cli_seq_parallel_training(tmp_path):
+    """--seq_parallel 8: the time axis of the shipped cylinder recipe
+    (dropout 0.1 -> in-ring counter-hash dropout) shards over the ring."""
+    save = str(tmp_path)
+    cli.main(["cylinder_flow", "encoder", "train", "--synthetic",
+              "--epochs", "1", "--save_dir", save, "--mesh", "none"])
+    cli.main(["cylinder_flow", "temporal", "train", "--synthetic",
+              "--epochs", "1", "--save_dir", save, "--seq_parallel", "8"])
+    assert os.path.exists(
+        os.path.join(save, "temporal_cylinder_flow_run1.npz"))
+
+
+@requires_8
+def test_mesh_auto_resolution():
+    """'auto' spans all 8 virtual devices; 'none' and test modes stay
+    single-device."""
+    import argparse
+    parser = argparse.ArgumentParser()
+
+    class A:
+        mode, seq_parallel, mesh = "train", 0, "auto"
+        model_type = "temporal"
+    mesh, seq = cli._resolve_meshes(parser, A())
+    assert seq is None and mesh is not None
+    assert mesh.shape["data"] == len(jax.devices())
+    A.mesh = "none"
+    assert cli._resolve_meshes(parser, A()) == (None, None)
+    A.mesh, A.mode = "auto", "test"
+    assert cli._resolve_meshes(parser, A()) == (None, None)

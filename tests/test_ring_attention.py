@@ -131,8 +131,10 @@ def test_seq_parallel_train_step_long_T():
     src = jax.random.normal(key, (B, T, cfg.num_fields, cfg.embed_dim))
     tgt = jax.random.normal(jax.random.fold_in(key, 1), src.shape)
     ib = jax.random.normal(jax.random.fold_in(key, 2), (B, T, cfg.ib_num))
-    pp2, po2, loss = step(pp, po, *place(src, tgt, ib))
-    assert np.isfinite(float(loss))
+    pp2, po2, stats = step(pp, po, *place(src, tgt, ib),
+                           jax.random.PRNGKey(9))
+    assert np.isfinite(float(stats["loss"]))
+    assert np.isfinite(float(stats["grad_norm"]))
     # Params actually moved.
     moved = any(not np.allclose(np.asarray(a), np.asarray(b))
                 for a, b in zip(jax.tree.leaves(params_np),
@@ -159,8 +161,112 @@ def test_seq_parallel_train_step_long_T():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
 
 
+# ---------------------------------------------------------------------------
+# In-ring dropout: the flash kernel's global-position counter-hash mask
+# runs inside the ring, so the shipped cylinder recipe (attention dropout
+# 0.1, configs/cylinder_flow.py) trains sequence-parallel unmodified.
+# ---------------------------------------------------------------------------
+
+def _dense_dropout_oracle(q, k, v, seed, rate, *, causal, src_len):
+    """attention_core semantics with the counter-hash mask applied to the
+    normalized probabilities — the exact math the ring must reproduce."""
+    from sea_tpu.ops.flash_attention import dropout_scale_from_positions
+    B, T, H, hd = q.shape
+    scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) * hd ** -0.5
+    if causal:
+        mask = (jnp.arange(T)[None, :] <= jnp.arange(T)[:, None] + src_len)
+        scores = jnp.where(mask[None, None], scores, -1e30)
+    probs = jax.nn.softmax(scores, axis=-1)
+    shape4 = (B, H, T, T)
+    bh = (jax.lax.broadcasted_iota(jnp.int32, shape4, 0) * H
+          + jax.lax.broadcasted_iota(jnp.int32, shape4, 1))
+    qp = jax.lax.broadcasted_iota(jnp.int32, shape4, 2)
+    kp = jax.lax.broadcasted_iota(jnp.int32, shape4, 3)
+    drop = dropout_scale_from_positions(seed[0], seed[1], bh, qp, kp,
+                                        rate=rate)
+    return jnp.einsum("bhqk,bkhd->bqhd", probs * drop, v)
+
+
 @requires_8
-def test_seq_parallel_rejects_dropout():
+def test_ring_dropout_matches_dense_oracle():
+    """Ring attention with dropout equals the dense computation with the
+    same counter-hash mask, for 4- and 8-way rings — the mask is a pure
+    function of global positions, independent of sharding."""
+    B, T, H, hd = 2, 64, 2, 16
+    rate = 0.1
+    seed = jnp.asarray([12345, -987], jnp.int32)
+    key = jax.random.PRNGKey(11)
+    q = jax.random.normal(key, (B, T, H, hd))
+    k = jax.random.normal(jax.random.fold_in(key, 1), (B, T, H, hd))
+    v = jax.random.normal(jax.random.fold_in(key, 2), (B, T, H, hd))
+    ref = _dense_dropout_oracle(q, k, v, seed, rate, causal=True, src_len=0)
+    for n in (4, 8):
+        got = ring_attention(q, k, v, _seq_mesh(n), causal=True, src_len=0,
+                             dropout_rate=rate, dropout_seed=seed)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=3e-5, err_msg=f"ring size {n}")
+
+
+@requires_8
+def test_ring_dropout_mask_statistics():
+    """The in-ring mask drops ~rate of the probability mass and is
+    inverted-scaled: output expectation matches the no-dropout output.
+    Checked via the mask itself (v = identity rows trick): zero fraction
+    within 3 sigma of rate, surviving entries scaled by 1/(1-rate)."""
+    from sea_tpu.ops.flash_attention import dropout_scale_from_positions
+    rate = 0.1
+    shape = (1, 1, 256, 256)
+    bh = jnp.zeros(shape, jnp.int32)
+    qp = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
+    kp = jax.lax.broadcasted_iota(jnp.int32, shape, 3)
+    m = dropout_scale_from_positions(jnp.int32(7), jnp.int32(-3), bh, qp, kp,
+                                     rate=rate)
+    m = np.asarray(m).reshape(-1)
+    n = m.size
+    zero_frac = float((m == 0.0).mean())
+    sigma = (rate * (1 - rate) / n) ** 0.5
+    assert abs(zero_frac - rate) < 3 * sigma, (zero_frac, rate)
+    nz = m[m != 0.0]
+    np.testing.assert_allclose(nz, 1.0 / (1.0 - rate), rtol=1e-6)
+    # Different seeds decorrelate.
+    m2 = np.asarray(dropout_scale_from_positions(
+        jnp.int32(8), jnp.int32(-3), bh, qp, kp, rate=rate)).reshape(-1)
+    agree = float(((m == 0) == (m2 == 0)).mean())
+    assert agree < 0.9, agree  # ~ (1-r)^2 + r^2 = 0.82 expected
+
+
+@requires_8
+@pytest.mark.heavy
+def test_ring_dropout_gradients_match_dense():
+    B, T, H, hd = 1, 32, 2, 8
+    rate = 0.1
+    seed = jnp.asarray([55, 77], jnp.int32)
+    key = jax.random.PRNGKey(13)
+    q = jax.random.normal(key, (B, T, H, hd))
+    k = jax.random.normal(jax.random.fold_in(key, 1), (B, T, H, hd))
+    v = jax.random.normal(jax.random.fold_in(key, 2), (B, T, H, hd))
+    mesh = _seq_mesh(4)
+
+    def loss_ring(q, k, v):
+        return jnp.sum(ring_attention(q, k, v, mesh, causal=True, src_len=0,
+                                      dropout_rate=rate,
+                                      dropout_seed=seed) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(_dense_dropout_oracle(q, k, v, seed, rate,
+                                             causal=True, src_len=0) ** 2)
+
+    g_ring = jax.grad(loss_ring, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(g_ring, g_ref, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5,
+                                   err_msg=f"d{name}")
+
+
+@requires_8
+def test_seq_parallel_train_step_with_dropout():
+    """The cylinder-style recipe (attention dropout 0.1) trains
+    sequence-parallel: one step, finite loss, params move."""
     from sea_tpu.configs.base import TrainConfig
     from sea_tpu.models.temporal import init_temporal
     from sea_tpu.parallel.mesh import make_seq_mesh
@@ -168,6 +274,18 @@ def test_seq_parallel_rejects_dropout():
     from sea_tpu.train.optim import make_optimizer
     cfg = _model_cfg(dropout=0.1)
     params = init_temporal(jax.random.PRNGKey(0), cfg)
-    tx = make_optimizer(TrainConfig())
-    with pytest.raises(ValueError, match="dropout"):
-        make_seq_parallel_train_step(make_seq_mesh(8), cfg, tx, params)
+    params_np = jax.tree.map(np.asarray, params)
+    tx = make_optimizer(TrainConfig(learning_rate=1e-3))
+    step, pp, po, place = make_seq_parallel_train_step(make_seq_mesh(8), cfg,
+                                                       tx, params)
+    B, T = 1, 64
+    key = jax.random.PRNGKey(2)
+    src = jax.random.normal(key, (B, T, cfg.num_fields, cfg.embed_dim))
+    tgt = jax.random.normal(jax.random.fold_in(key, 1), src.shape)
+    ib = jax.random.normal(jax.random.fold_in(key, 2), (B, T, cfg.ib_num))
+    pp2, _, stats = step(pp, po, *place(src, tgt, ib), jax.random.PRNGKey(3))
+    assert np.isfinite(float(stats["loss"]))
+    moved = any(not np.allclose(np.asarray(a), np.asarray(b))
+                for a, b in zip(jax.tree.leaves(params_np),
+                                jax.tree.leaves(pp2)))
+    assert moved

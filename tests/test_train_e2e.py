@@ -143,3 +143,87 @@ def test_orbax_checkpoint_roundtrip(tmp_path):
     for a, b in zip(jax.tree.leaves(params),
                     jax.tree.leaves(restored["params"])):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_full_checkpoint_restores_opt_state(tmp_path):
+    """load_full_checkpoint returns optimizer state (optax namedtuples
+    intact) when the checkpoint has one, and None otherwise — both npz and
+    orbax formats."""
+    import jax
+    from sea_tpu.models.temporal import init_temporal
+    from sea_tpu.train.optim import make_optimizer
+    from sea_tpu.utils.checkpoint import (load_full_checkpoint,
+                                          save_checkpoint)
+
+    cfg = TemporalModelConfig(num_layers=1, embed_dim=16, n_heads=2,
+                              num_fields=2, scale_ratio=2)
+    params = init_temporal(jax.random.PRNGKey(0), cfg)
+    tx = make_optimizer(TrainConfig(learning_rate=1e-3))
+    opt = tx.init(params)
+    # Make the moments non-trivial so the roundtrip is meaningful.
+    grads = jax.tree.map(lambda x: x + 0.25, params)
+    updates, opt = tx.update(grads, opt, params)
+
+    for use_orbax in (False, True):
+        path = save_checkpoint(str(tmp_path), f"temporal{use_orbax}", "c",
+                               "r", params, opt_state=opt,
+                               meta={"epoch": 3}, use_orbax=use_orbax)
+        rparams, ropt, meta = load_full_checkpoint(path, params,
+                                                   tx.init(params))
+        assert ropt is not None, use_orbax
+        assert jax.tree.structure(ropt) == jax.tree.structure(opt)
+        for a, b in zip(jax.tree.leaves(opt), jax.tree.leaves(ropt)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert int(meta["epoch"]) == 3
+        # tx.update works on the restored state (namedtuple types intact).
+        tx.update(grads, jax.tree.map(jnp_asarray, ropt), params)
+
+    # params-only checkpoint -> opt comes back None.
+    path = save_checkpoint(str(tmp_path), "ponly", "c", "r", params)
+    _, ropt, _ = load_full_checkpoint(path, params, tx.init(params))
+    assert ropt is None
+
+
+def jnp_asarray(x):
+    import jax.numpy as jnp
+    return jnp.asarray(x)
+
+
+@pytest.mark.heavy
+def test_sharded_resume_continues_training(tmp_path, synth):
+    """Round-2 verdict item #7: train sharded -> checkpoint -> restore
+    params AND opt state onto the mesh -> training continues (loss finite,
+    moments non-zero on the mesh)."""
+    import jax
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from sea_tpu.parallel.mesh import make_mesh
+    from sea_tpu.train.optim import make_optimizer
+    from sea_tpu.train.train_temporal import train as train_temporal
+    from sea_tpu.train.train_spatial import train as train_spatial
+    from sea_tpu.models.temporal import init_temporal
+    from sea_tpu.utils.checkpoint import (checkpoint_path,
+                                          load_full_checkpoint)
+
+    case = tiny_case(tmp_path)
+    mesh = make_mesh(n_data=4, n_model=2)
+    sparams, _ = train_spatial(case, data=synth, epochs=1)
+    train_temporal(case, data=synth, spatial_params=sparams, epochs=1,
+                   mesh=mesh)
+    path = checkpoint_path(str(tmp_path), "temporal",
+                           case.run.case_name, case.run.run_name)
+    template = init_temporal(jax.random.PRNGKey(0), case.temporal)
+    tx = make_optimizer(case.temporal_train)
+    rparams, ropt, meta = load_full_checkpoint(path, template,
+                                               tx.init(template))
+    assert ropt is not None and int(meta["epoch"]) == 1
+    # Moments actually carry information from epoch 1.
+    mu_norm = sum(float(np.abs(np.asarray(x)).sum())
+                  for x in jax.tree.leaves(ropt[0].mu))
+    assert mu_norm > 0.0
+    # Continue on the mesh with the restored optimizer.
+    params2, _ = train_temporal(case, data=synth, spatial_params=sparams,
+                                epochs=1, mesh=mesh, init_params=rparams,
+                                init_opt_state=ropt)
+    assert all(np.isfinite(np.asarray(x)).all()
+               for x in jax.tree.leaves(params2))

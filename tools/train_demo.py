@@ -55,7 +55,9 @@ def main():
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
     from sea_tpu.data.synthetic import cylinder_like
-    from sea_tpu.utils.checkpoint import checkpoint_path, load_params
+    from sea_tpu.train.optim import make_optimizer
+    from sea_tpu.utils.checkpoint import (checkpoint_path,
+                                          load_full_checkpoint, load_params)
 
     # Persistent XLA compilation cache: chunked invocations recompile the
     # same programs every run otherwise (several minutes each on the
@@ -75,26 +77,35 @@ def main():
         precomputed = None
         path = checkpoint_path(args.save_dir, "encoder_decoder",
                                case.run.case_name, case.run.run_name)
+        init_opt = None
         if os.path.exists(path) and not args.fresh:
             precomputed = process_data(case, data=data)
             template = init_spatial(jax.random.PRNGKey(0),
                                     precomputed.spatial_cfg)
-            init_params = load_params(path, template)
-            print(f"resuming spatial from {path}")
+            tx = make_optimizer(case.spatial_train)
+            init_params, init_opt, _ = load_full_checkpoint(
+                path, template, tx.init(template))
+            print(f"resuming spatial from {path} "
+                  f"(opt state: {init_opt is not None})")
         train(case, data=data, epochs=args.epochs, init_params=init_params,
-              precomputed=precomputed, seed=args.seed)
+              init_opt_state=init_opt, precomputed=precomputed,
+              seed=args.seed)
     elif args.stage == "temporal":
         from sea_tpu.models.temporal import init_temporal
         from sea_tpu.train.train_temporal import train
         init_params = None
         path = checkpoint_path(args.save_dir, "temporal",
                                case.run.case_name, case.run.run_name)
+        init_opt = None
         if os.path.exists(path) and not args.fresh:
             template = init_temporal(jax.random.PRNGKey(0), case.temporal)
-            init_params = load_params(path, template)
-            print(f"resuming temporal from {path}")
+            tx = make_optimizer(case.temporal_train)
+            init_params, init_opt, _ = load_full_checkpoint(
+                path, template, tx.init(template))
+            print(f"resuming temporal from {path} "
+                  f"(opt state: {init_opt is not None})")
         train(case, data=data, epochs=args.epochs, init_params=init_params,
-              seed=args.seed)
+              init_opt_state=init_opt, seed=args.seed)
     else:  # eval: rollout on the held-out TEST split
         from sea_tpu.models.temporal import init_temporal
         from sea_tpu.train.evaluate import full_autoregressive_evaluation
