@@ -183,11 +183,14 @@ class TrainConfig:
     dataset_src_len: int = 399
     dataset_overlap: int = 0
     dataset_time_shifting: bool = False
-    # Numerics policy for the train-step hot path. Default float32 matches
-    # the reference exactly; "bfloat16" casts the big matmul weights to bf16
-    # inside the loss (f32 AdamW master params, f32 loss/softmax) for ~1.7x
-    # memory-bandwidth headroom on TPU — opt in per case.
-    compute_dtype: str = "float32"  # "float32" | "bfloat16"
+    # Numerics policy for the train-step hot path
+    # (utils.precision.train_cast). Default float32 matches the reference
+    # exactly; "bfloat16" casts the big matmul weights to bf16 inside the
+    # loss (f32 AdamW master params, f32 loss/softmax) for ~1.7x
+    # memory-bandwidth headroom; "bfloat16_mixed" additionally runs bf16
+    # activations (every matmul bf16xbf16 on the MXU; softmax / LN stats /
+    # RoPE / loss stay f32) — opt in per case.
+    compute_dtype: str = "float32"  # "float32"|"bfloat16"|"bfloat16_mixed"
 
 
 @dataclass(frozen=True)

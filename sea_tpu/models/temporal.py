@@ -264,10 +264,16 @@ def _pool_exchange(block, cfg: TemporalModelConfig, x_vars, ib, *, rng=None,
               for x in normed]
     pool = jnp.broadcast_to(block["pool_token"],
                             (B,) + block["pool_token"].shape[1:])
-    # AdaLN cond for the single pool token: reference passes the full
-    # [B,T,ib] cond against a [B,1,dd] token, relying on broadcast — that
-    # only works when T==1 or LN type is plain LN; we pass the first step's
-    # cond for the adaln case (exercised configs use pool only with ln).
+    # DEAD COMPUTE kept for parity bookkeeping: the reference expands +
+    # normalizes + positionally-encodes the learned pool token
+    # (temporal.py:268-270) and then _update_pool_token (:244-251)
+    # IGNORES it for every reachable method ('pooling'/'linear'/'mlp'
+    # all rebuild the pool from `normalized` alone) — so pool_token, its
+    # ln_pool output, and this PE never influence the model output.
+    # Pinned by tests/test_features.py pool+adaln parity (exact match
+    # incl. LN_type='adaln', where the reference broadcasts the [B,1,dd]
+    # token against the [B,T,ib] cond and still discards the result).
+    # The first-step cond below is an arbitrary-but-cheap stand-in.
     pool_cond = ib[:, :1] if ib is not None else None
     pool = L.apply_norm(block["ln_pool"], pool, pool_cond)
     pool = L.positional_encoding(block["pool_pe"], pool, dropout_rate=0.0,

@@ -82,13 +82,18 @@ def init_layernorm(dim: int, *, bias: bool = True, dtype=jnp.float32):
 
 
 def layernorm(params, x, eps: float = LN_EPS):
-    mean = jnp.mean(x, axis=-1, keepdims=True)
-    var = jnp.var(x, axis=-1, keepdims=True)
-    y = (x - mean) * jax.lax.rsqrt(var + eps)
+    # Statistics in f32 regardless of input dtype (bf16 mean/var loses
+    # ~3 decimal digits); result back in the input dtype so bf16
+    # mixed-precision activations stay bf16 through the residual stream.
+    # No-op for the default f32 path.
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
     y = y * params["w"]
     if "b" in params:
         y = y + params["b"]
-    return y
+    return y.astype(x.dtype)
 
 
 def init_adaln(key, embed_dim: int, cond_dim: int, *, init: str = "normal002",
@@ -118,10 +123,13 @@ def adaln(params, x, cond, eps: float = LN_EPS):
     h = linear(params["cond_fc2"], h)
     cw, cb = jnp.split(h, 2, axis=-1)
     cw = cw + 1.0
-    mean = jnp.mean(x, axis=-1, keepdims=True)
-    var = jnp.var(x, axis=-1, keepdims=True)
-    normalized = (x - mean) * jax.lax.rsqrt(var + eps)
-    return normalized * (params["w"] + cw) + (params["b"] + cb)
+    # f32 statistics, input-dtype output (see layernorm).
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    normalized = (xf - mean) * jax.lax.rsqrt(var + eps)
+    out = normalized * (params["w"] + cw) + (params["b"] + cb)
+    return out.astype(x.dtype)
 
 
 def apply_norm(params, x, cond=None):
@@ -239,9 +247,10 @@ def sinusoidal_pe_table(d_model: int, max_len: int = 5000, dtype=jnp.float32):
 
 def positional_encoding(pe_table, x, *, dropout_rate: float = 0.0,
                         dropout_key=None, deterministic: bool = True):
-    """x: [..., T, D]; adds pe_table[:T]."""
+    """x: [..., T, D]; adds pe_table[:T] (result kept in x's dtype so a
+    f32 table never silently upcasts a bf16 stream)."""
     T = x.shape[-2]
-    x = x + pe_table[:T]
+    x = (x + pe_table[:T]).astype(x.dtype)
     return dropout(x, dropout_rate, dropout_key, deterministic)
 
 
@@ -254,7 +263,7 @@ def init_learnable_pe(key, d_model: int, max_len: int = 5000,
 def learnable_pe(params, x, *, dropout_rate: float = 0.0, dropout_key=None,
                  deterministic: bool = True):
     T = x.shape[-2]
-    x = x + params["pe"][:T]
+    x = (x + params["pe"][:T]).astype(x.dtype)
     return dropout(x, dropout_rate, dropout_key, deterministic)
 
 

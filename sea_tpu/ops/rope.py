@@ -44,4 +44,6 @@ def apply_rope(x, cos, sin):
     ra = a * c - b * s
     rb = a * s + b * c
     out = jnp.stack([ra, rb], axis=-1)  # [..., T, H, hd/2, 2]
-    return out.reshape(x.shape)
+    # Rotation in the f32 cos/sin dtype, result back in x's dtype: under
+    # bf16 mixed precision q/k must stay bf16 into the MXU matmul.
+    return out.reshape(x.shape).astype(x.dtype)

@@ -69,6 +69,34 @@ def quantize_weights_int8(tree, min_size: int = 1 << 16):
     return walk(tree)
 
 
+def train_cast(compute_dtype: str):
+    """(cast_params, cast_inputs) for a TrainConfig.compute_dtype policy.
+
+    - "float32": identity (the reference's numerics).
+    - "bfloat16": weight-only — big matmul weights bf16 inside the loss,
+      activations f32 (bandwidth win, minimal drift).
+    - "bfloat16_mixed": true mixed precision — ALL floating params and the
+      batch inputs bf16, so every matmul runs bf16xbf16 on the MXU.
+      Numerically-sensitive interiors stay f32 by construction: attention
+      scores/softmax (ops/attention.py preferred_element_type + the Pallas
+      kernel's f32 accumulators), LayerNorm/AdaLN statistics
+      (ops/layers.py), RoPE rotation, and the loss (train steps upcast
+      model outputs to f32 before MSE/KL). AdamW master params stay f32 —
+      gradients emerge f32 through the cast.
+    """
+    if compute_dtype == "float32":
+        return (lambda p: p), (lambda *xs: xs)
+    if compute_dtype == "bfloat16":
+        return cast_weights_bf16, (lambda *xs: xs)
+    if compute_dtype == "bfloat16_mixed":
+        def cast_inputs(*xs):
+            return tuple(x.astype(jnp.bfloat16) for x in xs)
+        return to_bf16, cast_inputs
+    raise ValueError(
+        f"unknown compute_dtype {compute_dtype!r}; expected 'float32', "
+        "'bfloat16' (weight-only), or 'bfloat16_mixed'")
+
+
 def cast_weights_bf16(tree, min_size: int = 1 << 16):
     """Weight-only bf16: cast the big 2-D MATMUL weights (the "w" entry of
     linear param dicts, >= min_size elements) to bf16; keep norms, biases,

@@ -70,10 +70,9 @@ def test_pool_mode_forward_and_torch_parity():
     from sea_tpu.models.temporal import temporal_forward
     from sea_tpu.utils.torch_compat import (state_dict_to_numpy,
                                             temporal_params_from_torch)
-    # Pool mode parity: the ln variant runs at T > 1 in the reference
-    # (only adaln crashes there — ln_pool broadcasts [B,1,dd] against a
-    # [B,T,ib] cond, temporal.py:268); check the full sequence AND the
-    # scan rollout against the reference prefix-recompute loop.
+    # Pool mode parity at T > 1: check the full sequence AND the scan
+    # rollout against the reference prefix-recompute loop. (The adaln
+    # variant is pinned separately by test_pool_adaln_torch_parity.)
     cfg = TemporalModelConfig(num_layers=1, embed_dim=16, n_heads=2,
                               block_size=16, scale_ratio=2, num_fields=2,
                               down_proj=2, dropout=0.0, exchange_mode="pool",
@@ -110,6 +109,49 @@ def test_pool_mode_forward_and_torch_parity():
     roll = rollout_scan(params, cfg, jnp.asarray(data[:, 0].numpy()),
                         jnp.asarray(ib_r.numpy()))
     np.testing.assert_allclose(np.asarray(roll), roll_ref, atol=5e-4)
+
+
+def test_pool_adaln_torch_parity():
+    """Pin pool x adaln semantics (VERDICT r2 item 8).
+
+    The reference expands + AdaLN-normalizes the learned pool token against
+    the FULL [B,T,ib] cond (broadcasting [B,1,dd] -> [B,T,dd],
+    temporal.py:268-270) — and then _update_pool_token (:244-251) discards
+    that result for every reachable method, rebuilding the pool from
+    `normalized` alone. So the combo runs fine at T>1 in the reference and
+    the repo's first-step-cond stand-in is output-identical; this test
+    pins that with an exact forward comparison."""
+    import os, sys
+    if not os.path.isdir("/root/reference"):
+        pytest.skip("reference unavailable")
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+    torch = pytest.importorskip("torch")
+    from models.temporal import TemporalModel
+    from sea_tpu.models.temporal import temporal_forward
+    from sea_tpu.utils.torch_compat import (state_dict_to_numpy,
+                                            temporal_params_from_torch)
+    cfg = TemporalModelConfig(num_layers=1, embed_dim=16, n_heads=2,
+                              block_size=16, scale_ratio=2, num_fields=2,
+                              down_proj=2, dropout=0.0, exchange_mode="pool",
+                              ib_scale_mode="mlp", ib_addition_mode="add",
+                              ln_type="adaln", pool_update_method="mlp")
+    torch.manual_seed(3)
+    ref = TemporalModel(num_layers=1, embed_dim=16, n_heads=2, max_len=16,
+                        scale_ratio=2, src_len=0, num_variables=2,
+                        down_proj=2, dropout=0.0, exchange_mode="pool",
+                        pos_encoding_mode="learnable", ib_scale_mode="mlp",
+                        ib_addition_mode="add", ib_mlp_layers=1, ib_num=1,
+                        add_info_after_cross=True, LN_type="adaln").eval()
+    x = torch.randn(2, 6, 2, 16)
+    ib = torch.randn(2, 6, 1)
+    with torch.no_grad():
+        out_ref = ref(x, ib).numpy()
+    params = temporal_params_from_torch(state_dict_to_numpy(ref.state_dict()),
+                                        cfg)
+    got = np.asarray(temporal_forward(params, cfg, jnp.asarray(x.numpy()),
+                                      jnp.asarray(ib.numpy())))
+    np.testing.assert_allclose(got, out_ref, atol=5e-5)
 
 
 def test_time_shifted_windows():
@@ -193,8 +235,10 @@ def test_autoregressive_validation():
 
 
 @pytest.mark.heavy
-def test_bf16_train_step_converges():
-    """Mixed-precision temporal train step: loss decreases, params stay f32."""
+@pytest.mark.parametrize("policy", ["bfloat16", "bfloat16_mixed"])
+def test_bf16_train_step_converges(policy):
+    """Reduced-precision temporal train step (weight-only bf16 AND true
+    mixed bf16 activations): loss decreases, master params stay f32."""
     import jax
     from sea_tpu.models.temporal import init_temporal
     from sea_tpu.train.optim import make_optimizer
@@ -208,7 +252,7 @@ def test_bf16_train_step_converges():
     params = init_temporal(jax.random.PRNGKey(0), cfg)
     tx = make_optimizer(TrainConfig(learning_rate=3e-3))
     opt = tx.init(params)
-    step = make_train_step(cfg, tx, compute_dtype="bfloat16")
+    step = make_train_step(cfg, tx, compute_dtype=policy)
     key = jax.random.PRNGKey(1)
     src = jax.random.normal(key, (2, 6, 2, 16))
     tgt = src * 0.5
@@ -223,6 +267,32 @@ def test_bf16_train_step_converges():
     assert all(l.dtype == jnp.float32 for l in jax.tree.leaves(params)
                if hasattr(l, "dtype") and jnp.issubdtype(l.dtype,
                                                          jnp.floating))
+
+
+def test_bf16_mixed_forward_tracks_f32():
+    """bf16 params + bf16 inputs: output comes back bf16 (no silent f32
+    upcast anywhere in the stream — LN/RoPE/PE preserve input dtype) and
+    tracks the f32 forward within bf16 tolerance."""
+    import jax
+    from sea_tpu.models.temporal import init_temporal, temporal_forward
+    from sea_tpu.utils.precision import to_bf16
+    cfg = TemporalModelConfig(num_layers=2, embed_dim=32, n_heads=2,
+                              block_size=32, scale_ratio=2, num_fields=2,
+                              down_proj=2, dropout=0.0, exchange_mode="sea",
+                              ib_scale_mode="mlp", ib_addition_mode="add",
+                              ln_type="adaln")
+    params = init_temporal(jax.random.PRNGKey(0), cfg)
+    key = jax.random.PRNGKey(1)
+    src = jax.random.normal(key, (2, 8, 2, 32))
+    ib = jax.random.normal(jax.random.fold_in(key, 1), (2, 8, 1))
+    full = np.asarray(temporal_forward(params, cfg, src, ib))
+    half_out = temporal_forward(to_bf16(params), cfg,
+                                src.astype(jnp.bfloat16),
+                                ib.astype(jnp.bfloat16))
+    assert half_out.dtype == jnp.bfloat16, half_out.dtype
+    half = np.asarray(half_out, dtype=np.float32)
+    rel = np.abs(half - full).max() / (np.abs(full).max() + 1e-8)
+    assert rel < 0.05, rel
 
 
 def test_variational_latent_service_returns_post_transformer_z():

@@ -1,0 +1,146 @@
+"""Same-hardware A/B: scan+KV-cache rollout vs prefix-recompute rollout.
+
+The reference's rollout (utils/train_utils.py:202-207) re-runs the full
+model on the growing prefix each step. BASELINE.md's headline vs_baseline
+ratios compare our TPU scan engine against that loop in PyTorch on this
+machine's CPU (no GPU in the image), which conflates hardware and
+architecture. This tool isolates the ARCHITECTURAL win by running both
+rollout strategies on the SAME chip as compiled XLA:
+
+- scan: rollout/engine.rollout_scan — one program, O(T) per-step work
+  against KV caches.
+- prefix: the reference's strategy with shapes bucketed to multiples of
+  ``BUCKET`` so it compiles to a handful of programs (a fori_loop per
+  bucket; step i runs a full forward on the first L >= i+1 positions —
+  causality makes trailing garbage irrelevant to position i's output).
+  Work is the reference's triangular sum rounded up per-bucket, so the
+  measured prefix cost is within one bucket (<= +BUCKET/T, ~16% at
+  T=399/B=64) of the reference's own schedule — NOT the 2x overstatement
+  a pad-to-full-length loop would give.
+
+Equivalence of the bucketed prefix loop to rollout_scan is asserted at a
+small T before timing (same numerics modulo f32 reassociation).
+
+Usage: python tools/bench_scan_vs_prefix.py [--case cylinder|multiphase]
+Prints one JSON line with steps/sec for both engines and the ratio.
+"""
+
+import argparse
+import functools
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+BUCKET = 64
+
+
+def make_prefix_chunk(cfg):
+    from sea_tpu.models.temporal import temporal_forward
+
+    @functools.partial(jax.jit, static_argnames=("L", "i0", "i1"))
+    def prefix_chunk(params, buf, ib, L, i0, i1):
+        """Advance steps [i0, i1) of the autoregressive loop, each as a
+        full forward on the first L positions of the state buffer."""
+        def body(i, buf):
+            out = temporal_forward(params, cfg, buf[:, :L], ib[:, :L])
+            y = jax.lax.dynamic_index_in_dim(out, i, axis=1,
+                                             keepdims=True)  # pred for t=i+1
+            return jax.lax.dynamic_update_slice_in_dim(buf, y, i + 1, axis=1)
+        return jax.lax.fori_loop(i0, i1, body, buf)
+
+    return prefix_chunk
+
+
+def rollout_prefix_bucketed(prefix_chunk, params, cfg, x0, ib):
+    """[B, T, G, E] predictions, reference prefix-recompute schedule with
+    lengths rounded up to the next BUCKET multiple."""
+    B = x0.shape[0]
+    T = ib.shape[1]
+    buf = jnp.zeros((B, T + 1) + x0.shape[1:], x0.dtype)
+    buf = buf.at[:, 0].set(x0)
+    i = 0
+    while i < T:
+        L = min(-(-(i + 1) // BUCKET) * BUCKET, T)
+        i1 = min(L, T)  # all steps whose prefix fits in L positions
+        buf = prefix_chunk(params, buf, ib[:, :T], L, i, i1)
+        i = i1
+    return buf[:, 1:]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--case", default="cylinder",
+                    choices=["cylinder", "multiphase"])
+    ap.add_argument("--check", action="store_true",
+                    help="equivalence check only (small T, any backend)")
+    args = ap.parse_args()
+
+    from sea_tpu.models.temporal import init_temporal
+    from sea_tpu.rollout.engine import rollout_jit
+
+    if args.case == "cylinder":
+        from sea_tpu.configs.cylinder_flow import get_case
+        T = 399
+    else:
+        from sea_tpu.configs.multiphase_flow import get_case
+        T = 250
+    cfg = get_case().temporal
+
+    # Equivalence at small T (always; it is cheap and guards the timing).
+    import numpy as np
+    from sea_tpu.configs.base import TemporalModelConfig
+    ccfg = TemporalModelConfig(num_layers=1, embed_dim=32, n_heads=2,
+                               block_size=64, scale_ratio=2, num_fields=2,
+                               down_proj=2, dropout=0.1, exchange_mode="sea",
+                               ib_scale_mode="mlp", ib_addition_mode="add",
+                               ln_type="adaln")
+    cp = init_temporal(jax.random.PRNGKey(0), ccfg)
+    key = jax.random.PRNGKey(1)
+    cx0 = jax.random.normal(key, (2, 2, 32))
+    cib = jax.random.normal(jax.random.fold_in(key, 1), (2, 7, 1))
+    chunk = make_prefix_chunk(ccfg)
+    got = np.asarray(rollout_prefix_bucketed(chunk, cp, ccfg, cx0, cib))
+    want = np.asarray(rollout_jit(cp, ccfg, cx0, cib))
+    err = np.abs(got - want).max() / (np.abs(want).max() + 1e-8)
+    assert err < 1e-4, f"bucketed prefix != scan (rel {err})"
+    if args.check:
+        print(json.dumps({"equivalence_rel_err": float(err)}))
+        return
+
+    params = init_temporal(jax.random.PRNGKey(0), cfg)
+    x0 = jax.random.normal(key, (1, cfg.num_fields, cfg.embed_dim))
+    ib = jax.random.normal(jax.random.fold_in(key, 2), (1, T, cfg.ib_num))
+    chunk = make_prefix_chunk(cfg)
+
+    # Warm (compile) then time. One dispatch per bucket for prefix; the
+    # per-dispatch tunnel RTT is ~20 ms x ~7 buckets = noise at these
+    # multi-second runtimes.
+    jax.block_until_ready(rollout_prefix_bucketed(chunk, params, cfg, x0, ib))
+    t0 = time.perf_counter()
+    jax.block_until_ready(rollout_prefix_bucketed(chunk, params, cfg, x0, ib))
+    prefix_s = time.perf_counter() - t0
+
+    jax.block_until_ready(rollout_jit(params, cfg, x0, ib))
+    t0 = time.perf_counter()
+    jax.block_until_ready(rollout_jit(params, cfg, x0, ib))
+    scan_s = time.perf_counter() - t0
+
+    print(json.dumps({
+        "case": args.case, "T": T, "backend": jax.default_backend(),
+        "device_kind": jax.devices()[0].device_kind,
+        "prefix_recompute_steps_per_sec": round(T / prefix_s, 3),
+        "scan_kv_steps_per_sec": round(T / scan_s, 3),
+        "scan_vs_prefix_on_chip": round(prefix_s / scan_s, 2),
+        "bucket": BUCKET,
+    }))
+
+
+if __name__ == "__main__":
+    main()
