@@ -208,7 +208,8 @@ def main(argv=None):
         else:  # test
             import jax
             from sea_tpu.models.temporal import init_temporal
-            from sea_tpu.train.evaluate import full_autoregressive_evaluation
+            from sea_tpu.train.evaluate import (
+                full_autoregressive_evaluation, fused_autoregressive_evaluation)
             from sea_tpu.train.train_temporal import process_data
             from sea_tpu.utils import checkpoint as ckpt
             td = process_data(case, data=data)
@@ -219,18 +220,33 @@ def main(argv=None):
             print(f"Using pretrained model: {path}")
             params = _load_any_checkpoint(path, template, case.temporal,
                                           kind="temporal")
+            # --precision applies END-TO-END: the temporal rollout AND the
+            # frozen stage-1 decoder run reduced-precision weights.
+            spatial_params = None
             if args.precision == "bf16":
                 from sea_tpu.utils.precision import cast_weights_bf16
                 params = cast_weights_bf16(params)
-                print("Serving precision: bf16 weights")
+                spatial_params = cast_weights_bf16(td.latent_service.params)
+                print("Serving precision: bf16 weights (rollout + decode)")
             elif args.precision == "int8":
                 from sea_tpu.utils.precision import quantize_weights_int8
                 params = quantize_weights_int8(params)
+                spatial_params = quantize_weights_int8(
+                    td.latent_service.params)
                 print("Serving precision: int8 weights "
-                      "(per-output-channel)")
-            results = full_autoregressive_evaluation(
-                params, case, td.test, td.latent_service, td.mesh_processor,
-                epoch=0, plot_traj=True)
+                      "(per-output-channel, rollout + decode)")
+            tcfg = case.temporal
+            if tcfg.ib_addition_mode != "attention" and tcfg.src_len == 0:
+                # Serving path: rollout+decode+unpatch+metrics as one
+                # compiled on-device program (rollout/e2e.py).
+                results = fused_autoregressive_evaluation(
+                    params, case, td.test, td.latent_service,
+                    td.mesh_processor, spatial_params=spatial_params,
+                    epoch=0, plot_traj=True)
+            else:  # staged fallback for non-scan-incremental configs
+                results = full_autoregressive_evaluation(
+                    params, case, td.test, td.latent_service,
+                    td.mesh_processor, epoch=0, plot_traj=True)
             print("Test Results:")
             for key in ("encoded_rel_mse", "decoded_rel_mse"):
                 print(f"{key}: {results[key]}")

@@ -34,12 +34,14 @@ def make_e2e_rollout_eval(tcfg: TemporalModelConfig,
                           part: PartitionIndex, *,
                           sea_layout: str = "isolate",
                           scalers=None, field_groups=None):
-    """Returns a jitted fn(temporal_params, spatial_params, x0, ib, truth)
-    -> (decoded_fields [B,T,N,F], rel_mse_per_time [B,T,F]).
+    """Returns a jitted fn(temporal_params, spatial_params, x0, ib, truth,
+    tgt_lat) -> (decoded_fields [B,T,N,F], rel_mse_per_time [B,T,F],
+    encoded_rel_mse scalar).
 
-    x0:    [B, G, E] initial latent state
-    ib:    [B, T, ib_num]
-    truth: [B, T, N, F] ground-truth node fields aligned with predictions
+    x0:      [B, G, E] initial latent state
+    ib:      [B, T, ib_num]
+    truth:   [B, T, N, F] ground-truth node fields aligned with predictions
+    tgt_lat: [B, T, G, E] ground-truth latents (encoded_rel_mse target)
     scalers/field_groups: the MeshProcessor's min-max scalers (optional) —
     inverse scaling is folded into the compiled program as per-field
     affine constants.
@@ -72,9 +74,11 @@ def make_e2e_rollout_eval(tcfg: TemporalModelConfig,
     b = jnp.asarray(b)
 
     @jax.jit
-    def run(tparams, sparams, x0, ib, truth):
+    def run(tparams, sparams, x0, ib, truth, tgt_lat):
         B, T = ib.shape[0], ib.shape[1]
         preds = rollout_scan(tparams, tcfg, x0, ib)  # [B,T,G,E]
+        enc_rel = jnp.mean(M.relative_mse(preds.astype(jnp.float32),
+                                          tgt_lat))
         lat = preds.reshape(B * T, G, P, D).transpose(0, 2, 1, 3)
         dec = spatial_decode(sparams, scfg, lat)  # [B*T, P, F, C]
         if sea_layout == "isolate":
@@ -82,8 +86,8 @@ def make_e2e_rollout_eval(tcfg: TemporalModelConfig,
         else:  # mixed
             dec = dec.reshape(B * T, P, C, dec.shape[2])
         fields = unpatchify_jax(part, dec).reshape(B, T, num_nodes, -1)
-        fields = fields * a + b  # inverse min-max scaling (identity if off)
+        fields = fields.astype(jnp.float32) * a + b  # inverse min-max scale
         rel = M.relative_mse_with_time(fields, truth, axis=2)  # [B,T,F]
-        return fields, rel
+        return fields, rel, enc_rel
 
     return run

@@ -84,48 +84,100 @@ def full_autoregressive_evaluation(params, case: CaseConfig, windows,
 
     # Artifact writes happen on process 0 only (multi-host hygiene).
     if save_artifacts and is_primary():
-        save_dir = case.run.save_dir
-        os.makedirs(save_dir, exist_ok=True)
-        # Rollout CSV (train_utils.py:277-285).
-        csv_path = os.path.join(
-            save_dir,
-            f"rollout_error_{case.run.case_name}_{case.run.run_name}.csv")
-        with open(csv_path, "w", newline="") as fh:
-            writer = csv.writer(fh)
-            writer.writerow(["Time Step"] + [f"Field {i+1}"
-                                             for i in range(per_time.shape[1])])
-            for i, row in enumerate(per_time):
-                writer.writerow([i + 1] + list(row))
-        # Field plots for 5 seeded random timesteps (train_utils.py:242-276).
-        rng = np.random.RandomState(case.temporal_split.random_seed)
-        n_samples = min(5, T)
-        sample_idx = rng.choice(T, n_samples, replace=False)
-        coords = mesh_processor.coordinates
-        for idx in sample_idx:
-            if case.mesh.dimension == "2D":
-                plot_all_fields_2d(original[0], coords[:, 0], coords[:, 1],
-                                   int(idx), filename=os.path.join(
-                    save_dir, f"temporal_original_data_{idx}_{epoch}.png"))
-                plot_all_fields_2d(decoded_fields[0], coords[:, 0],
-                                   coords[:, 1], int(idx),
-                                   filename=os.path.join(
-                    save_dir, f"temporal_decoded_data_{idx}_{epoch}.png"))
-            else:
-                plot_all_fields_3d(original[0], coords[:, 0], coords[:, 1],
-                                   coords[:, 2], int(idx),
-                                   filename=os.path.join(
-                    save_dir, f"temporal_original_data_{idx}_{epoch}.png"))
-                plot_all_fields_3d(decoded_fields[0], coords[:, 0],
-                                   coords[:, 1], coords[:, 2], int(idx),
-                                   filename=os.path.join(
-                    save_dir, f"temporal_decoded_data_{idx}_{epoch}.png"))
-        if plot_traj:
-            plot_rollout_error(per_time, os.path.join(
-                save_dir,
-                f"rollout_error_{case.run.case_name}_"
-                f"{case.run.run_name}.png"))
+        _write_rollout_artifacts(case, mesh_processor, per_time, original,
+                                 decoded_fields, epoch=epoch,
+                                 plot_traj=plot_traj)
 
     return {"encoded_rel_mse": encoded_rel_mse,
+            "decoded_rel_mse": decoded_rel_mse,
+            "decoded_rel_mse_per_time": per_time}
+
+
+def _write_rollout_artifacts(case, mesh_processor, per_time, original,
+                             decoded_fields, *, epoch: int,
+                             plot_traj: bool) -> None:
+    """Rollout CSV + per-timestep field plots (train_utils.py:242-285)."""
+    T = original.shape[1]
+    save_dir = case.run.save_dir
+    os.makedirs(save_dir, exist_ok=True)
+    csv_path = os.path.join(
+        save_dir,
+        f"rollout_error_{case.run.case_name}_{case.run.run_name}.csv")
+    with open(csv_path, "w", newline="") as fh:
+        writer = csv.writer(fh)
+        writer.writerow(["Time Step"] + [f"Field {i+1}"
+                                         for i in range(per_time.shape[1])])
+        for i, row in enumerate(per_time):
+            writer.writerow([i + 1] + list(row))
+    # Field plots for 5 seeded random timesteps (train_utils.py:242-276).
+    rng = np.random.RandomState(case.temporal_split.random_seed)
+    n_samples = min(5, T)
+    sample_idx = rng.choice(T, n_samples, replace=False)
+    coords = mesh_processor.coordinates
+    for idx in sample_idx:
+        if case.mesh.dimension == "2D":
+            plot_all_fields_2d(original[0], coords[:, 0], coords[:, 1],
+                               int(idx), filename=os.path.join(
+                save_dir, f"temporal_original_data_{idx}_{epoch}.png"))
+            plot_all_fields_2d(decoded_fields[0], coords[:, 0],
+                               coords[:, 1], int(idx),
+                               filename=os.path.join(
+                save_dir, f"temporal_decoded_data_{idx}_{epoch}.png"))
+        else:
+            plot_all_fields_3d(original[0], coords[:, 0], coords[:, 1],
+                               coords[:, 2], int(idx),
+                               filename=os.path.join(
+                save_dir, f"temporal_original_data_{idx}_{epoch}.png"))
+            plot_all_fields_3d(decoded_fields[0], coords[:, 0],
+                               coords[:, 1], coords[:, 2], int(idx),
+                               filename=os.path.join(
+                save_dir, f"temporal_decoded_data_{idx}_{epoch}.png"))
+    if plot_traj:
+        plot_rollout_error(per_time, os.path.join(
+            save_dir,
+            f"rollout_error_{case.run.case_name}_"
+            f"{case.run.run_name}.png"))
+
+
+def fused_autoregressive_evaluation(params, case: CaseConfig, windows,
+                                    latent_service: LatentService,
+                                    mesh_processor: MeshProcessor, *,
+                                    spatial_params=None, epoch: int = 0,
+                                    plot_traj: bool = True,
+                                    save_artifacts: bool = True
+                                    ) -> Dict[str, Any]:
+    """Serving-mode evaluation: rollout + decode + un-patch + metrics as ONE
+    compiled on-device program (rollout/e2e.py) — no host bounce between
+    stages (the reference bounces latents GPU->CPU->GPU,
+    train_utils.py:220-230). Same metrics/artifacts contract as
+    full_autoregressive_evaluation; requires a scan-incremental config
+    (both shipped presets are; the staged path remains the fallback for
+    attention-mode ib / src_len != 0).
+
+    ``spatial_params`` overrides the latent service's decoder weights —
+    the CLI passes reduced-precision (bf16/int8) casts here so
+    ``--precision`` applies end-to-end (temporal rollout AND decode).
+    """
+    from sea_tpu.rollout.e2e import make_e2e_rollout_eval
+    run = make_e2e_rollout_eval(
+        case.temporal, latent_service.cfg, mesh_processor.partition,
+        sea_layout=case.run.sea_layout, scalers=mesh_processor.scalers,
+        field_groups=mesh_processor.field_groups)
+    sparams = spatial_params if spatial_params is not None \
+        else latent_service.params
+    src = jnp.asarray(windows.src)
+    ib = jnp.asarray(windows.ib)
+    original = np.asarray(windows.tgt_original)
+    fields, rel, enc_rel = run(params, sparams, src[:, 0], ib,
+                               jnp.asarray(original),
+                               jnp.asarray(windows.tgt))
+    per_time = np.asarray(rel).mean(axis=0)  # [T, F]
+    decoded_rel_mse = float(per_time.mean())
+    if save_artifacts and is_primary():
+        _write_rollout_artifacts(case, mesh_processor, per_time, original,
+                                 np.asarray(fields), epoch=epoch,
+                                 plot_traj=plot_traj)
+    return {"encoded_rel_mse": float(enc_rel),
             "decoded_rel_mse": decoded_rel_mse,
             "decoded_rel_mse_per_time": per_time}
 

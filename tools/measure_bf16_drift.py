@@ -34,6 +34,11 @@ def main():
     ap.add_argument("--save_dir", default="/tmp/qrun")
     ap.add_argument("--cpu", action="store_true", default=True)
     ap.add_argument("--dtype", choices=["bf16", "int8"], default="bf16")
+    ap.add_argument("--e2e", action="store_true",
+                    help="end-to-end serving drift: reduce the stage-1 "
+                         "DECODE weights too and evaluate through the fused "
+                         "on-device program (what `temporal test "
+                         "--precision ...` runs)")
     args = ap.parse_args()
 
     import jax
@@ -70,15 +75,26 @@ def main():
                         "temporal_cylinder_flow_run1.npz")
     params = load_params(ckpt, template)
 
-    res_f32 = full_autoregressive_evaluation(
-        params, case, td.test, td.latent_service, td.mesh_processor,
-        save_artifacts=False)
     reduce = (quantize_weights_int8 if args.dtype == "int8"
               else cast_weights_bf16)
     params_bf16 = reduce(params)
-    res_bf16 = full_autoregressive_evaluation(
-        params_bf16, case, td.test, td.latent_service, td.mesh_processor,
-        save_artifacts=False)
+    if args.e2e:
+        from sea_tpu.train.evaluate import fused_autoregressive_evaluation
+        res_f32 = fused_autoregressive_evaluation(
+            params, case, td.test, td.latent_service, td.mesh_processor,
+            save_artifacts=False)
+        res_bf16 = fused_autoregressive_evaluation(
+            params_bf16, case, td.test, td.latent_service,
+            td.mesh_processor,
+            spatial_params=reduce(td.latent_service.params),
+            save_artifacts=False)
+    else:
+        res_f32 = full_autoregressive_evaluation(
+            params, case, td.test, td.latent_service, td.mesh_processor,
+            save_artifacts=False)
+        res_bf16 = full_autoregressive_evaluation(
+            params_bf16, case, td.test, td.latent_service, td.mesh_processor,
+            save_artifacts=False)
 
     # Latent drift: rel-L2 between the two rollouts themselves.
     src = jnp.asarray(td.test.src)
@@ -93,7 +109,7 @@ def main():
     d16 = res_bf16["decoded_rel_mse"]
     tag = args.dtype + "w"
     print(json.dumps({
-        "dtype": tag,
+        "dtype": tag + ("_e2e" if args.e2e else ""),
         "rollout_steps": int(ib.shape[1]),
         "test_trajectories": int(src.shape[0]),
         "decoded_rel_mse_f32": round(d32, 6),
