@@ -78,6 +78,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--case", default="cylinder",
                     choices=["cylinder", "multiphase"])
+    ap.add_argument("--dtype", default="f32",
+                    choices=["f32", "bf16", "int8"],
+                    help="weight precision for BOTH engines (serving modes)")
     ap.add_argument("--check", action="store_true",
                     help="equivalence check only (small T, any backend)")
     args = ap.parse_args()
@@ -122,6 +125,12 @@ def main():
         return
 
     params = init_temporal(jax.random.PRNGKey(0), cfg)
+    if args.dtype == "bf16":
+        from sea_tpu.utils.precision import cast_weights_bf16
+        params = cast_weights_bf16(params)
+    elif args.dtype == "int8":
+        from sea_tpu.utils.precision import quantize_weights_int8
+        params = quantize_weights_int8(params)
     x0 = jax.random.normal(key, (1, cfg.num_fields, cfg.embed_dim))
     ib = jax.random.normal(jax.random.fold_in(key, 2), (1, T, cfg.ib_num))
     chunk = make_prefix_chunk(cfg)
@@ -140,7 +149,8 @@ def main():
     scan_s = time.perf_counter() - t0
 
     print(json.dumps({
-        "case": args.case, "T": T, "backend": jax.default_backend(),
+        "case": args.case, "T": T, "dtype": args.dtype,
+        "backend": jax.default_backend(),
         "device_kind": jax.devices()[0].device_kind,
         "prefix_recompute_steps_per_sec": round(T / prefix_s, 3),
         "scan_kv_steps_per_sec": round(T / scan_s, 3),

@@ -47,9 +47,9 @@ def build(case_name, impl, dtype):
         B, T = 4, 399
     cfg = get_case().temporal
     tx = make_optimizer(TrainConfig(learning_rate=8e-5))
-    step = make_train_step(cfg, tx,
-                           compute_dtype="bfloat16" if dtype == "bf16"
-                           else "float32")
+    policy = {"f32": "float32", "bf16": "bfloat16",
+              "bf16_mixed": "bfloat16_mixed"}[dtype]
+    step = make_train_step(cfg, tx, compute_dtype=policy)
     return cfg, step, tx, B, T
 
 
@@ -58,7 +58,8 @@ def main():
     ap.add_argument("--case", choices=["multiphase", "cylinder"],
                     default="multiphase")
     ap.add_argument("--impl", choices=["auto", "xla"], default="auto")
-    ap.add_argument("--dtype", choices=["f32", "bf16"], default="f32")
+    ap.add_argument("--dtype", choices=["f32", "bf16", "bf16_mixed"],
+                    default="f32")
     args = ap.parse_args()
 
     import sea_tpu.ops.flash_attention as _fa
