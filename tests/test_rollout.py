@@ -61,6 +61,26 @@ def test_scan_equals_prefix_recompute(variant):
                                err_msg=str(variant))
 
 
+def test_bucketed_prefix_equals_scan():
+    """The bucketed prefix serving engine (rollout_prefix_bucketed —
+    faster than scan for f32 B=1 serving on TPU) must agree with scan,
+    including with a bucket smaller than T (multiple chunks) and a bucket
+    larger than T (single full-length chunk)."""
+    from sea_tpu.rollout.engine import rollout_prefix_bucketed
+    cfg = _cfg()
+    params = init_temporal(jax.random.PRNGKey(0), cfg)
+    B, T = 2, 11
+    key = jax.random.PRNGKey(1)
+    x0 = jax.random.normal(key, (B, cfg.num_fields, cfg.embed_dim))
+    ib = jax.random.normal(jax.random.fold_in(key, 1), (B, T, cfg.ib_num))
+    want = np.asarray(rollout_scan(params, cfg, x0, ib))
+    for bucket in (4, 64):
+        got = np.asarray(rollout_prefix_bucketed(params, cfg, x0, ib,
+                                                 bucket=bucket))
+        np.testing.assert_allclose(got, want, atol=2e-4,
+                                   err_msg=f"bucket={bucket}")
+
+
 def test_single_step_matches_forward():
     """temporal_step at t must reproduce temporal_forward(x[:, :t+1])[:, t]."""
     from sea_tpu.models.temporal import init_temporal_cache, temporal_step

@@ -26,7 +26,6 @@ Prints one JSON line with steps/sec for both engines and the ratio.
 """
 
 import argparse
-import functools
 import json
 import os
 import sys
@@ -41,39 +40,6 @@ sys.path.insert(0, REPO)
 BUCKET = 64
 
 
-def make_prefix_chunk(cfg):
-    from sea_tpu.models.temporal import temporal_forward
-
-    @functools.partial(jax.jit, static_argnames=("L", "i0", "i1"))
-    def prefix_chunk(params, buf, ib, L, i0, i1):
-        """Advance steps [i0, i1) of the autoregressive loop, each as a
-        full forward on the first L positions of the state buffer."""
-        def body(i, buf):
-            out = temporal_forward(params, cfg, buf[:, :L], ib[:, :L])
-            y = jax.lax.dynamic_index_in_dim(out, i, axis=1,
-                                             keepdims=True)  # pred for t=i+1
-            return jax.lax.dynamic_update_slice_in_dim(buf, y, i + 1, axis=1)
-        return jax.lax.fori_loop(i0, i1, body, buf)
-
-    return prefix_chunk
-
-
-def rollout_prefix_bucketed(prefix_chunk, params, cfg, x0, ib):
-    """[B, T, G, E] predictions, reference prefix-recompute schedule with
-    lengths rounded up to the next BUCKET multiple."""
-    B = x0.shape[0]
-    T = ib.shape[1]
-    buf = jnp.zeros((B, T + 1) + x0.shape[1:], x0.dtype)
-    buf = buf.at[:, 0].set(x0)
-    i = 0
-    while i < T:
-        L = min(-(-(i + 1) // BUCKET) * BUCKET, T)
-        i1 = min(L, T)  # all steps whose prefix fits in L positions
-        buf = prefix_chunk(params, buf, ib[:, :T], L, i, i1)
-        i = i1
-    return buf[:, 1:]
-
-
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--case", default="cylinder",
@@ -86,7 +52,8 @@ def main():
     args = ap.parse_args()
 
     from sea_tpu.models.temporal import init_temporal
-    from sea_tpu.rollout.engine import rollout_jit
+    from sea_tpu.rollout.engine import (rollout_jit,
+                                        rollout_prefix_bucketed)
 
     if args.case == "cylinder":
         from sea_tpu.configs.cylinder_flow import get_case
@@ -108,8 +75,8 @@ def main():
     key = jax.random.PRNGKey(1)
     cx0 = jax.random.normal(key, (2, 2, 32))
     cib = jax.random.normal(jax.random.fold_in(key, 1), (2, 7, 1))
-    chunk = make_prefix_chunk(ccfg)
-    got = np.asarray(rollout_prefix_bucketed(chunk, cp, ccfg, cx0, cib))
+    got = np.asarray(rollout_prefix_bucketed(cp, ccfg, cx0, cib,
+                                             bucket=BUCKET))
     want = np.asarray(rollout_jit(cp, ccfg, cx0, cib))
     err = np.abs(got - want).max() / (np.abs(want).max() + 1e-8)
     # Tolerance: on TPU, DEFAULT-precision f32 matmuls truncate operands to
@@ -133,14 +100,15 @@ def main():
         params = quantize_weights_int8(params)
     x0 = jax.random.normal(key, (1, cfg.num_fields, cfg.embed_dim))
     ib = jax.random.normal(jax.random.fold_in(key, 2), (1, T, cfg.ib_num))
-    chunk = make_prefix_chunk(cfg)
 
     # Warm (compile) then time. One dispatch per bucket for prefix; the
     # per-dispatch tunnel RTT is ~20 ms x ~7 buckets = noise at these
     # multi-second runtimes.
-    jax.block_until_ready(rollout_prefix_bucketed(chunk, params, cfg, x0, ib))
+    jax.block_until_ready(
+        rollout_prefix_bucketed(params, cfg, x0, ib, bucket=BUCKET))
     t0 = time.perf_counter()
-    jax.block_until_ready(rollout_prefix_bucketed(chunk, params, cfg, x0, ib))
+    jax.block_until_ready(
+        rollout_prefix_bucketed(params, cfg, x0, ib, bucket=BUCKET))
     prefix_s = time.perf_counter() - t0
 
     jax.block_until_ready(rollout_jit(params, cfg, x0, ib))
