@@ -191,6 +191,17 @@ class TrainConfig:
     # activations (every matmul bf16xbf16 on the MXU; softmax / LN stats /
     # RoPE / loss stay f32) — opt in per case.
     compute_dtype: str = "float32"  # "float32"|"bfloat16"|"bfloat16_mixed"
+    # Per-step grad/param global-norm observability (the wandb.watch
+    # equivalent). XLA fuses these reductions into the AdamW update
+    # passes on the measured configs (profile: the update fusions carry
+    # two scalar outputs), so the cost is usually nil — the flag exists
+    # for configs where fusion does not happen.
+    log_norms: bool = True
+    # AdamW first-moment storage dtype: "bfloat16" halves mu's HBM
+    # traffic (train/optim.py) — the update passes are the largest
+    # single cost of the big-model train step. "float32" (default)
+    # matches the reference numerics exactly.
+    adam_mu_dtype: str = "float32"  # "float32" | "bfloat16"
 
 
 @dataclass(frozen=True)

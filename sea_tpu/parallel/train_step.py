@@ -31,6 +31,15 @@ from sea_tpu.rollout.engine import rollout_scan
 from sea_tpu.train import metrics as M
 
 
+
+def _norm_stats(grads, params, log_norms: bool):
+    """Per-step observability norms (TrainConfig.log_norms): two extra
+    full passes over the param pytree when on, zeros when off."""
+    if log_norms:
+        return {"grad_norm": optax.global_norm(grads),
+                "param_norm": optax.global_norm(params)}
+    return {"grad_norm": jnp.zeros(()), "param_norm": jnp.zeros(())}
+
 def _place_state(mesh, params, pspec, tx, init_opt_state=None):
     """Place params per the TP spec and build optimizer state *under jit*
     with unspecified out_shardings so moments inherit the param shardings.
@@ -50,7 +59,8 @@ def _place_state(mesh, params, pspec, tx, init_opt_state=None):
 def make_sharded_temporal_train_step(mesh: Mesh, cfg: TemporalModelConfig,
                                      tx, params, *,
                                      compute_dtype: str = "float32",
-                                     init_opt_state=None):
+                                     init_opt_state=None,
+                                     log_norms: bool = True):
     pspec = temporal_param_shardings(mesh, params)
     placed_params, placed_opt = _place_state(mesh, params, pspec, tx,
                                              init_opt_state)
@@ -66,8 +76,7 @@ def make_sharded_temporal_train_step(mesh: Mesh, cfg: TemporalModelConfig,
             return M.mse(out.astype(jnp.float32), tgt)
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = tx.update(grads, opt_state, params)
-        stats = {"loss": loss, "grad_norm": optax.global_norm(grads),
-                 "param_norm": optax.global_norm(params)}
+        stats = {"loss": loss, **_norm_stats(grads, params, log_norms)}
         params = optax.apply_updates(params, updates)
         return params, opt_state, stats
 
@@ -85,7 +94,8 @@ def make_sharded_spatial_train_step(mesh: Mesh, cfg: SpatialModelConfig,
                                     kl_weight_min: float = 0.0,
                                     kl_weight_max: float = 0.0,
                                     total_steps: int = 1,
-                                    init_opt_state=None):
+                                    init_opt_state=None,
+                                    log_norms: bool = True):
     """Signature-compatible with train_spatial.make_train_step: the jitted
     step takes (params, opt_state, batch, rng, iteration) and returns the
     same stats dict, so the training loop is identical on both paths.
@@ -122,8 +132,7 @@ def make_sharded_spatial_train_step(mesh: Mesh, cfg: SpatialModelConfig,
         updates, opt_state = tx.update(grads, opt_state, params)
         stats = {"loss": loss, "recon_loss": recon_loss, "kl_loss": kl,
                  "r2": M.r2(recon, batch),
-                 "grad_norm": optax.global_norm(grads),
-                 "param_norm": optax.global_norm(params)}
+                 **_norm_stats(grads, params, log_norms)}
         params = optax.apply_updates(params, updates)
         return params, opt_state, stats
 
@@ -134,7 +143,8 @@ def make_sharded_spatial_train_step(mesh: Mesh, cfg: SpatialModelConfig,
 
 
 def make_seq_parallel_train_step(mesh: Mesh, cfg: TemporalModelConfig,
-                                 tx, params, *, init_opt_state=None):
+                                 tx, params, *, init_opt_state=None,
+                                 log_norms: bool = True):
     """Sequence-parallel (ring attention) teacher-forced training: the TIME
     axis of src/tgt/ib shards over the mesh's 'seq' axis, params replicate,
     and every attention runs as a ring (parallel/ring_attention.py) — each
@@ -158,8 +168,7 @@ def make_seq_parallel_train_step(mesh: Mesh, cfg: TemporalModelConfig,
             return M.mse(out, tgt)
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = tx.update(grads, opt_state, params)
-        stats = {"loss": loss, "grad_norm": optax.global_norm(grads),
-                 "param_norm": optax.global_norm(params)}
+        stats = {"loss": loss, **_norm_stats(grads, params, log_norms)}
         params = optax.apply_updates(params, updates)
         return params, opt_state, stats
 

@@ -28,5 +28,16 @@ def make_optimizer(cfg: TrainConfig, *,
         lr = cfg.learning_rate
     else:
         raise ValueError(f"unknown scheduler {cfg.scheduler!r}")
+    # mu_dtype=bf16 halves the first-moment's HBM traffic. On the
+    # 201M-param multiphase model the AdamW update fusions are the
+    # largest single cost in the train step (4.9 ms/step at B=4, ~37% of
+    # device time, already at ~705 GB/s — BASELINE.md MFU rows), so
+    # moment bytes convert directly to step time. The second moment
+    # stays f32 (optax applies bias correction in f32 either way; nu's
+    # wide dynamic range is the numerically sensitive one). Convergence
+    # pinned by tests/test_features.py::test_bf16_mu_matches_f32_training.
+    mu_dtype = ("bfloat16" if getattr(cfg, "adam_mu_dtype", "float32")
+                == "bfloat16" else None)
     return optax.adamw(learning_rate=lr, b1=cfg.betas[0], b2=cfg.betas[1],
-                       eps=cfg.eps, weight_decay=cfg.weight_decay)
+                       eps=cfg.eps, weight_decay=cfg.weight_decay,
+                       mu_dtype=mu_dtype)

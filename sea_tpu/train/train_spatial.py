@@ -78,7 +78,8 @@ def process_data(case: CaseConfig, *, data=None) -> SpatialData:
 
 def make_train_step(cfg: SpatialModelConfig, tx, *, kl_weight_min=0.0,
                     kl_weight_max=0.0, total_steps: int = 1,
-                    compute_dtype: str = "float32"):
+                    compute_dtype: str = "float32",
+                    log_norms: bool = True):
     from sea_tpu.utils.precision import train_cast
     cast_p, cast_x = train_cast(compute_dtype)
 
@@ -109,9 +110,9 @@ def make_train_step(cfg: SpatialModelConfig, tx, *, kl_weight_min=0.0,
         # Observability (wandb.watch equivalent, train_utils.py:75-76):
         # global grad/param norms computed inside the jitted step — one
         # scalar readback, no per-tensor host traffic.
+        from sea_tpu.parallel.train_step import _norm_stats
         stats = {"loss": loss, "recon_loss": recon_loss, "kl_loss": kl,
-                 "grad_norm": optax.global_norm(grads),
-                 "param_norm": optax.global_norm(params)}
+                 **_norm_stats(grads, params, log_norms)}
         params = optax.apply_updates(params, updates)
         stats["r2"] = M.r2(recon, batch)
         return params, opt_state, stats
@@ -187,7 +188,7 @@ def train(case: CaseConfig,
                 mesh, cfg, tx, params, compute_dtype=tcfg.compute_dtype,
                 kl_weight_min=tcfg.kl_weight_min,
                 kl_weight_max=tcfg.kl_weight_max, total_steps=total_steps,
-                init_opt_state=init_opt_state)
+                init_opt_state=init_opt_state, log_norms=tcfg.log_norms)
     else:
         opt_state = (jax.tree.map(jnp.asarray, init_opt_state)
                      if init_opt_state is not None else tx.init(params))
@@ -195,7 +196,8 @@ def train(case: CaseConfig,
                                      kl_weight_min=tcfg.kl_weight_min,
                                      kl_weight_max=tcfg.kl_weight_max,
                                      total_steps=total_steps,
-                                     compute_dtype=tcfg.compute_dtype)
+                                     compute_dtype=tcfg.compute_dtype,
+                                     log_norms=tcfg.log_norms)
     eval_step = make_eval_step(cfg, kl_weight_min=tcfg.kl_weight_min,
                                kl_weight_max=tcfg.kl_weight_max,
                                total_steps=total_steps)

@@ -111,11 +111,13 @@ def process_data(case: CaseConfig, *, data=None,
 
 
 def make_train_step(cfg: TemporalModelConfig, tx, *,
-                    compute_dtype: str = "float32"):
+                    compute_dtype: str = "float32", log_norms: bool = True):
     """Numerics policy (utils.precision.train_cast): 'bfloat16' casts the
     big matmul weights inside the loss; 'bfloat16_mixed' additionally runs
     bf16 activations (f32 softmax/LN-stats/loss). AdamW keeps f32 master
-    params either way."""
+    params either way. ``log_norms=False`` drops the per-step grad/param
+    norm reductions (TrainConfig.log_norms; usually free — XLA fuses them
+    into the AdamW update passes on the measured configs)."""
     from sea_tpu.utils.precision import train_cast
     cast_p, cast_x = train_cast(compute_dtype)
 
@@ -130,8 +132,11 @@ def make_train_step(cfg: TemporalModelConfig, tx, *,
         updates, opt_state = tx.update(grads, opt_state, params)
         # wandb.watch equivalent (train_utils.py:75-76): global grad/param
         # norms inside the jitted step, one scalar readback per batch.
-        stats = {"loss": loss, "grad_norm": optax.global_norm(grads),
-                 "param_norm": optax.global_norm(params)}
+        stats = {"loss": loss,
+                 "grad_norm": optax.global_norm(grads) if log_norms
+                 else jnp.zeros(()),
+                 "param_norm": optax.global_norm(params) if log_norms
+                 else jnp.zeros(())}
         params = optax.apply_updates(params, updates)
         return params, opt_state, stats
     return step
@@ -191,7 +196,7 @@ def train(case: CaseConfig,
         train_step, params, opt_state, place_batch = \
             make_sharded_temporal_train_step(
                 mesh, cfg, tx, params, compute_dtype=tcfg.compute_dtype,
-                init_opt_state=init_opt_state)
+                init_opt_state=init_opt_state, log_norms=tcfg.log_norms)
     elif seq_mesh is not None:
         ring = seq_mesh.shape["seq"]
         if tcfg.dataset_src_len % ring != 0:
@@ -202,12 +207,14 @@ def train(case: CaseConfig,
         from sea_tpu.parallel.train_step import make_seq_parallel_train_step
         train_step, params, opt_state, place_batch = \
             make_seq_parallel_train_step(seq_mesh, cfg, tx, params,
-                                         init_opt_state=init_opt_state)
+                                         init_opt_state=init_opt_state,
+                                         log_norms=tcfg.log_norms)
     else:
         opt_state = (jax.tree.map(jnp.asarray, init_opt_state)
                      if init_opt_state is not None else tx.init(params))
         train_step = make_train_step(cfg, tx,
-                                     compute_dtype=tcfg.compute_dtype)
+                                     compute_dtype=tcfg.compute_dtype,
+                                     log_norms=tcfg.log_norms)
         place_batch = None
     eval_step = make_eval_step(cfg)
 

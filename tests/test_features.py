@@ -269,6 +269,51 @@ def test_bf16_train_step_converges(policy):
                                                          jnp.floating))
 
 
+def test_bf16_mu_matches_f32_training():
+    """adam_mu_dtype='bfloat16' (halved first-moment HBM traffic) must
+    track the f32-moment run: loss decreases and the trajectories stay
+    close over tens of steps."""
+    import dataclasses
+    import jax
+    from sea_tpu.models.temporal import init_temporal
+    from sea_tpu.train.optim import make_optimizer
+    from sea_tpu.train.train_temporal import make_train_step
+    from sea_tpu.configs.base import TrainConfig
+    cfg = TemporalModelConfig(num_layers=1, embed_dim=16, n_heads=2,
+                              block_size=32, scale_ratio=2, num_fields=2,
+                              down_proj=2, dropout=0.0, exchange_mode="sea",
+                              ib_scale_mode="mlp", ib_addition_mode="add",
+                              ln_type="adaln")
+    key = jax.random.PRNGKey(1)
+    src = jax.random.normal(key, (2, 6, 2, 16))
+    tgt = src * 0.5
+    ib = jax.random.normal(jax.random.fold_in(key, 1), (2, 6, 1))
+
+    losses = {}
+    for mu_dtype in ("float32", "bfloat16"):
+        tcfg = TrainConfig(learning_rate=3e-3)
+        tcfg = dataclasses.replace(tcfg, adam_mu_dtype=mu_dtype)
+        tx = make_optimizer(tcfg)
+        params = init_temporal(jax.random.PRNGKey(0), cfg)
+        opt = tx.init(params)
+        if mu_dtype == "bfloat16":
+            mus = [l for l in jax.tree.leaves(opt)
+                   if hasattr(l, "dtype") and l.dtype == jnp.bfloat16]
+            assert mus, "no bf16 moment leaves — mu_dtype not applied"
+        step = make_train_step(cfg, tx)
+        traj = []
+        for i in range(25):
+            params, opt, stats = step(params, opt, src, tgt, ib,
+                                      jax.random.fold_in(key, 10 + i))
+            traj.append(float(stats["loss"]))
+        losses[mu_dtype] = traj
+    f32_t, bf16_t = losses["float32"], losses["bfloat16"]
+    assert bf16_t[-1] < bf16_t[0] * 0.7, bf16_t
+    # Trajectories agree within a few percent relative at every step.
+    for a, b in zip(f32_t, bf16_t):
+        assert abs(a - b) <= 0.05 * abs(a) + 1e-6, (a, b)
+
+
 def test_bf16_mixed_forward_tracks_f32():
     """bf16 params + bf16 inputs: output comes back bf16 (no silent f32
     upcast anywhere in the stream — LN/RoPE/PE preserve input dtype) and

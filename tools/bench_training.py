@@ -34,7 +34,9 @@ V5E_PEAK_FLOPS = 197e12  # bf16 MXU peak, one v5e chip
 V5E_HBM_BPS = 819e9
 
 
-def build(case_name, impl, dtype):
+def build(case_name, impl, dtype, batch=None, log_norms=True,
+          mu_dtype="float32"):
+    import dataclasses
     from sea_tpu.configs.base import TrainConfig
     from sea_tpu.train.optim import make_optimizer
     from sea_tpu.train.train_temporal import make_train_step
@@ -45,11 +47,15 @@ def build(case_name, impl, dtype):
     else:
         from sea_tpu.configs.cylinder_flow import get_case
         B, T = 4, 399
+    if batch:
+        B = batch
     cfg = get_case().temporal
-    tx = make_optimizer(TrainConfig(learning_rate=8e-5))
+    tx = make_optimizer(dataclasses.replace(
+        TrainConfig(learning_rate=8e-5), adam_mu_dtype=mu_dtype))
     policy = {"f32": "float32", "bf16": "bfloat16",
               "bf16_mixed": "bfloat16_mixed"}[dtype]
-    step = make_train_step(cfg, tx, compute_dtype=policy)
+    step = make_train_step(cfg, tx, compute_dtype=policy,
+                           log_norms=log_norms)
     return cfg, step, tx, B, T
 
 
@@ -60,6 +66,16 @@ def main():
     ap.add_argument("--impl", choices=["auto", "xla"], default="auto")
     ap.add_argument("--dtype", choices=["f32", "bf16", "bf16_mixed"],
                     default="f32")
+    ap.add_argument("--batch", type=int, default=None,
+                    help="override batch size (default 4; the 201M-param "
+                         "multiphase model amortizes its fixed AdamW-state "
+                         "traffic over more tokens at larger B)")
+    ap.add_argument("--no_norms", action="store_true",
+                    help="disable per-step grad/param norm observability "
+                         "(TrainConfig.log_norms=False)")
+    ap.add_argument("--mu", choices=["f32", "bf16"], default="f32",
+                    help="AdamW first-moment dtype "
+                         "(TrainConfig.adam_mu_dtype)")
     args = ap.parse_args()
 
     import sea_tpu.ops.flash_attention as _fa
@@ -69,7 +85,11 @@ def main():
 
     from sea_tpu.models.temporal import init_temporal
 
-    cfg, step, tx, B, T = build(args.case, args.impl, args.dtype)
+    mu_dtype = "bfloat16" if args.mu == "bf16" else "float32"
+    cfg, step, tx, B, T = build(args.case, args.impl, args.dtype,
+                                batch=args.batch,
+                                log_norms=not args.no_norms,
+                                mu_dtype=mu_dtype)
     params = init_temporal(jax.random.PRNGKey(0), cfg)
     opt_state = tx.init(params)
 
@@ -97,7 +117,9 @@ def main():
         if args.impl == "auto":
             _fa.flash_supported = lambda *a, **k: False
             try:
-                _, xla_step, _, _, _ = build(args.case, "xla", args.dtype)
+                _, xla_step, _, _, _ = build(args.case, "xla", args.dtype,
+                                             batch=args.batch,
+                                             log_norms=not args.no_norms)
                 flops, _ = cost_of(xla_step)  # keep the auto-step bytes
             finally:
                 _fa.flash_supported = real_flash_supported
