@@ -37,6 +37,64 @@ def plot_all_fields_2d(data: np.ndarray, coordx: np.ndarray,
     plt.close(fig)
 
 
+def plot_fields_2d(data: np.ndarray, coordx: np.ndarray,
+                   coordy: np.ndarray, field_index: int, time_index: int, *,
+                   filename: Optional[str] = None, ax=None,
+                   show: bool = False) -> None:
+    """Single-field 2D scatter (modular_testing.py:231-249): data [T,N,F],
+    one field at one timestep; optionally draws into a caller-provided
+    axes for composition."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    vals = np.asarray(data[time_index, :, field_index])
+    if ax is None:
+        fig, ax = plt.subplots(figsize=(14, 4))
+    else:  # pragma: no cover - composition path
+        fig = ax.figure
+    sc = ax.scatter(coordx, coordy, c=vals, cmap="viridis",
+                    vmin=vals.min(), vmax=vals.max())
+    cbar = fig.colorbar(sc, ax=ax, orientation="vertical")
+    cbar.set_label("Field Value")
+    ax.set_title(f"Field {field_index}")
+    ax.set_xlabel("X Coordinate")
+    ax.set_ylabel("Y Coordinate")
+    if filename:
+        fig.savefig(filename)
+    if show:  # pragma: no cover
+        plt.show()
+    plt.close(fig)
+
+
+def plot_fields_3d(data: np.ndarray, coordx: np.ndarray, coordy: np.ndarray,
+                   coordz: np.ndarray, field_index: int, time_index: int, *,
+                   filename: Optional[str] = None, vmin=None, vmax=None,
+                   ax=None, show: bool = False) -> None:
+    """Single-field 3D scatter (modular_testing.py:251-279)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    vals = np.asarray(data[time_index, :, field_index])
+    if ax is None:
+        fig = plt.figure(figsize=(10, 8))
+        ax = fig.add_subplot(111, projection="3d")
+    else:  # pragma: no cover - composition path
+        fig = ax.figure
+    sc = ax.scatter(coordx, coordy, coordz, c=vals, cmap="viridis",
+                    vmin=vals.min() if vmin is None else vmin,
+                    vmax=vals.max() if vmax is None else vmax)
+    cbar = fig.colorbar(sc, ax=ax, orientation="vertical")
+    cbar.set_label("Field Value")
+    ax.set_title(f"Field {field_index}")
+    ax.set_xlabel("X Coordinate")
+    ax.set_ylabel("Y Coordinate")
+    if filename:
+        fig.savefig(filename)
+    if show:  # pragma: no cover
+        plt.show()
+    plt.close(fig)
+
+
 def plot_all_fields_3d(data: np.ndarray, coordx: np.ndarray,
                        coordy: np.ndarray, coordz: np.ndarray, idx: int, *,
                        filename: Optional[str] = None,

@@ -195,3 +195,25 @@ def test_scaler_restores_persisted_feature_range(tmp_path):
     assert sc2.feature_range == (-1.0, 1.0)
     np.testing.assert_allclose(sc2.inverse_transform(sc.transform(data)),
                                data, atol=1e-6)
+
+
+def test_plot_field_variants(tmp_path):
+    """All four plot entry points (modular_testing.py:231-325 family)
+    write a file without a display."""
+    from sea_tpu.utils.plotting import (plot_all_fields_2d,
+                                        plot_all_fields_3d, plot_fields_2d,
+                                        plot_fields_3d)
+    rng = np.random.RandomState(0)
+    data = rng.randn(3, 50, 2).astype(np.float32)
+    x, y, z = rng.rand(3, 50).astype(np.float32)
+    import os
+    p1 = str(tmp_path / "f2d.png")
+    plot_fields_2d(data, x, y, 1, 2, filename=p1)
+    p2 = str(tmp_path / "f3d.png")
+    plot_fields_3d(data, x, y, z, 0, 0, filename=p2)
+    p3 = str(tmp_path / "all2d.png")
+    plot_all_fields_2d(data, x, y, 1, filename=p3)
+    p4 = str(tmp_path / "all3d.png")
+    plot_all_fields_3d(data, x, y, z, 1, filename=p4)
+    for p in (p1, p2, p3, p4):
+        assert os.path.getsize(p) > 0
