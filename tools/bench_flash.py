@@ -8,6 +8,7 @@ Prints one JSON line with fwd and fwd+bwd times for pallas vs XLA, plus
 the dropout-enabled pallas numbers (in-kernel mask).
 """
 
+import argparse
 import functools
 import json
 import os
@@ -22,6 +23,10 @@ import jax.numpy as jnp
 
 B, T, H, HD = 2, 2048, 8, 128
 REPEATS = 8
+# Shipped train shapes: cylinder [4,399,8,128] (E=1024/8 heads),
+# multiphase [4,199,8,256] (E=2048/8 heads).
+SHAPES = {"verdict": (2, 2048, 8, 128), "cylinder": (4, 399, 8, 128),
+          "multiphase": (4, 199, 8, 256)}
 
 
 def timeit(fn, stacks):
@@ -38,16 +43,33 @@ def timeit(fn, stacks):
 
 
 def main():
-    from sea_tpu.ops.flash_attention import flash_attention, _xla_attention
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--shape", choices=sorted(SHAPES), default="verdict")
+    ap.add_argument("--dtype", choices=["f32", "bf16"], default="f32")
+    ap.add_argument("--block_q", type=int, default=None)
+    ap.add_argument("--block_k", type=int, default=None)
+    args = ap.parse_args()
+    from sea_tpu.ops.flash_attention import (DEFAULT_BLOCK_K,
+                                             DEFAULT_BLOCK_Q,
+                                             flash_attention, _xla_attention)
+    B, T, H, HD = SHAPES[args.shape]
+    # Defaults uncl clamped: the kernel pads T up to a block multiple, so
+    # T=399 with block 512 is one padded block (block sizes must stay
+    # hardware-tiled; T itself need not divide them).
+    bq = args.block_q or DEFAULT_BLOCK_Q
+    bk = args.block_k or DEFAULT_BLOCK_K
+    dt = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
 
     key = jax.random.PRNGKey(0)
     mk = lambda i: jax.random.normal(jax.random.fold_in(key, i),
-                                     (REPEATS + 1, B, T, H, HD))
+                                     (REPEATS + 1, B, T, H, HD)).astype(dt)
     stacks = (mk(1), mk(2), mk(3), mk(4))
     seed = jnp.asarray([3, 5], jnp.int32)
 
-    flash = functools.partial(flash_attention, causal=True, src_len=0)
+    flash = functools.partial(flash_attention, causal=True, src_len=0,
+                              block_q=bq, block_k=bk)
     flash_do = functools.partial(flash_attention, causal=True, src_len=0,
+                                 block_q=bq, block_k=bk,
                                  dropout_rate=0.1, dropout_seed=seed)
     xla = functools.partial(_xla_attention, causal=True, src_len=0)
 
@@ -61,7 +83,8 @@ def main():
         return run
 
     res = {
-        "shape": [B, T, H, HD],
+        "shape": [B, T, H, HD], "dtype": args.dtype,
+        "block": [bq, bk],
         "pallas_fwd_ms": round(timeit(fwd(flash), stacks), 3),
         "xla_fwd_ms": round(timeit(fwd(xla), stacks), 3),
         "pallas_fwdbwd_ms": round(timeit(fwdbwd(flash), stacks), 3),
