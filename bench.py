@@ -46,6 +46,15 @@ BF16_DRIFT = {"decoded_rel_mse_rel_change": 4.1e-05,
               "latent_rollout_rel_l2": 0.001207}
 INT8_DRIFT = {"decoded_rel_mse_rel_change": -0.000525,
               "latent_rollout_rel_l2": 0.006717}
+# Same-chip architecture A/B (tools/bench_scan_vs_prefix.py, round 3):
+# time(prefix-recompute) / time(scan) on one v5e at B=1. Values < 1 mean
+# the reference's own strategy, compiled as bucketed XLA programs, beats
+# the scan engine (it amortizes the weight stream over full-sequence MXU
+# work; the scan engine streams all weights every step). bf16 weights
+# halve the stream and flip the verdict. Full table + the multiphase-bf16
+# XLA pathology note: BASELINE.md "Same-chip rollout engine A/B".
+SCAN_VS_PREFIX_ON_CHIP = {"cylinder_f32": 0.67, "cylinder_bf16w": 1.04,
+                          "multiphase_f32": 0.66}
 
 
 def bench_rollout(cfg, steps, *, dtype: str, key_base: int):
@@ -157,6 +166,7 @@ def main():
         "multiphase_int8w": round(mp_int8, 3),
         "multiphase_int8w_vs_baseline": ratio(mp_int8, mp_ref),
         "int8w_drift_on_trained_weights": INT8_DRIFT,
+        "scan_vs_prefix_on_chip": SCAN_VS_PREFIX_ON_CHIP,
     }))
 
 
