@@ -650,13 +650,21 @@ def flash_supported(q, k, *, causal: bool, dropout_rate: float,
                     deterministic: bool, has_dropout_key: bool = False
                     ) -> bool:
     """Auto-dispatch policy for ops.attention.mha: use the Pallas kernel on
-    TPU for long sequences. Attention-probability dropout (the reference
-    trains temporal with dropout=0.1) runs in-kernel via the TPU PRNG, so
-    dropout training qualifies whenever the caller supplies a dropout key
-    to derive the seed from."""
+    TPU where it measures faster (BASELINE.md kernel table, v5e):
+
+    - WITH attention-probability dropout (the reference trains the
+      cylinder temporal with dropout=0.1): the in-kernel counter-hash
+      mask beats XLA's materialized mask+PRNG from T>=256 (1.45x on the
+      full cylinder T=399 step, 2.2x at T=2048). Needs a dropout key to
+      seed the kernel PRNG.
+    - WITHOUT dropout: XLA's fused attention is ~1.2-1.3x faster at the
+      shipped short shapes (T=199/399, repeats-amortized sweep) and the
+      banded-grid kernel only pulls ahead at long T (1.6-1.7x at
+      T=2048), so require T>=1024.
+    """
     if jax.default_backend() not in ("tpu",):
         return False
-    if dropout_rate > 0.0 and not deterministic and not has_dropout_key:
-        return False
     Tq, Tk = q.shape[1], k.shape[1]
-    return Tq >= 256 and Tk >= 256
+    if dropout_rate > 0.0 and not deterministic:
+        return has_dropout_key and Tq >= 256 and Tk >= 256
+    return Tq >= 1024 and Tk >= 1024

@@ -22,24 +22,26 @@ import jax
 import jax.numpy as jnp
 
 B, T, H, HD = 2, 2048, 8, 128
-REPEATS = 8
+REPEATS = 8  # default; raise via --repeats for small shapes, where the
+# ~20 ms tunnel RTT per dispatch would otherwise dominate (floor =
+# RTT/repeats per call even with all repeats inside one dispatch).
 # Shipped train shapes: cylinder [4,399,8,128] (E=1024/8 heads),
 # multiphase [4,199,8,256] (E=2048/8 heads).
 SHAPES = {"verdict": (2, 2048, 8, 128), "cylinder": (4, 399, 8, 128),
           "multiphase": (4, 199, 8, 256)}
 
 
-def timeit(fn, stacks):
+def timeit(fn, stacks, repeats):
     @jax.jit
     def run_many(qs, ks, vs, gs):
         return jax.lax.map(lambda x: fn(*x), (qs, ks, vs, gs)).sum()
 
     warm = tuple(s[1:] for s in stacks)
-    timed = tuple(s[:REPEATS] for s in stacks)
+    timed = tuple(s[:repeats] for s in stacks)
     float(run_many(*warm))
     t0 = time.perf_counter()
     float(run_many(*timed))
-    return (time.perf_counter() - t0) / REPEATS * 1e3  # ms
+    return (time.perf_counter() - t0) / repeats * 1e3  # ms
 
 
 def main():
@@ -48,6 +50,7 @@ def main():
     ap.add_argument("--dtype", choices=["f32", "bf16"], default="f32")
     ap.add_argument("--block_q", type=int, default=None)
     ap.add_argument("--block_k", type=int, default=None)
+    ap.add_argument("--repeats", type=int, default=REPEATS)
     args = ap.parse_args()
     from sea_tpu.ops.flash_attention import (DEFAULT_BLOCK_K,
                                              DEFAULT_BLOCK_Q,
@@ -62,7 +65,7 @@ def main():
 
     key = jax.random.PRNGKey(0)
     mk = lambda i: jax.random.normal(jax.random.fold_in(key, i),
-                                     (REPEATS + 1, B, T, H, HD)).astype(dt)
+                                     (args.repeats + 1, B, T, H, HD)).astype(dt)
     stacks = (mk(1), mk(2), mk(3), mk(4))
     seed = jnp.asarray([3, 5], jnp.int32)
 
@@ -85,12 +88,12 @@ def main():
     res = {
         "shape": [B, T, H, HD], "dtype": args.dtype,
         "block": [bq, bk],
-        "pallas_fwd_ms": round(timeit(fwd(flash), stacks), 3),
-        "xla_fwd_ms": round(timeit(fwd(xla), stacks), 3),
-        "pallas_fwdbwd_ms": round(timeit(fwdbwd(flash), stacks), 3),
-        "xla_fwdbwd_ms": round(timeit(fwdbwd(xla), stacks), 3),
-        "pallas_dropout_fwdbwd_ms": round(timeit(fwdbwd(flash_do), stacks),
-                                          3),
+        "pallas_fwd_ms": round(timeit(fwd(flash), stacks, args.repeats), 3),
+        "xla_fwd_ms": round(timeit(fwd(xla), stacks, args.repeats), 3),
+        "pallas_fwdbwd_ms": round(timeit(fwdbwd(flash), stacks, args.repeats), 3),
+        "xla_fwdbwd_ms": round(timeit(fwdbwd(xla), stacks, args.repeats), 3),
+        "pallas_dropout_fwdbwd_ms": round(timeit(fwdbwd(flash_do), stacks,
+                                                 args.repeats), 3),
     }
     res["fwd_speedup"] = round(res["xla_fwd_ms"] / res["pallas_fwd_ms"], 2)
     res["fwdbwd_speedup"] = round(res["xla_fwdbwd_ms"]
