@@ -46,6 +46,13 @@ BF16_DRIFT = {"decoded_rel_mse_rel_change": 4.1e-05,
               "latent_rollout_rel_l2": 0.001207}
 INT8_DRIFT = {"decoded_rel_mse_rel_change": -0.000525,
               "latent_rollout_rel_l2": 0.006717}
+# int4 (round-3 retrain checkpoints, same tool --dtype int4): the 4-bit
+# grid's ~13% per-matmul noise (tests/test_utils.py analytic bound)
+# largely washes out in the end metric — decoded rel-MSE -0.78%, latent
+# rel-L2 4.6%, just inside the 5% budget. Serve int4 only after
+# re-measuring drift on YOUR trained weights.
+INT4_DRIFT = {"decoded_rel_mse_rel_change": -0.007813,
+              "latent_rollout_rel_l2": 0.045536}
 # Same-chip architecture A/B (tools/bench_scan_vs_prefix.py, round 3):
 # time(prefix-recompute) / time(scan) on one v5e at B=1. Values < 1 mean
 # the reference's own strategy, compiled as bucketed XLA programs, beats
@@ -68,6 +75,7 @@ def bench_rollout(cfg, steps, *, dtype: str, key_base: int):
     from sea_tpu.models.temporal import init_temporal
     from sea_tpu.rollout.engine import rollout_scan
     from sea_tpu.utils.precision import (cast_weights_bf16,
+                                         quantize_weights_int4,
                                          quantize_weights_int8)
 
     params = init_temporal(jax.random.PRNGKey(0), cfg)
@@ -75,8 +83,15 @@ def bench_rollout(cfg, steps, *, dtype: str, key_base: int):
         params = cast_weights_bf16(params)
     elif dtype == "int8":
         params = quantize_weights_int8(params)
-    param_bytes = sum(x.size * x.dtype.itemsize
-                      for x in jax.tree.leaves(params))
+    elif dtype == "int4":
+        params = quantize_weights_int4(params)
+
+    def nbytes(x):
+        # int4 arrays report itemsize 1; XLA stores them packed 2/byte.
+        if x.dtype == jnp.int4:
+            return (x.size + 1) // 2
+        return x.size * x.dtype.itemsize
+    param_bytes = sum(nbytes(x) for x in jax.tree.leaves(params))
     key = jax.random.PRNGKey(key_base)
     x0s = [jax.random.normal(jax.random.fold_in(key, i),
                              (BATCH, cfg.num_fields, cfg.embed_dim))
@@ -127,6 +142,7 @@ def main():
     mp_bf16, mp_bytes = bench_rollout(mp_cfg, 250, dtype="bf16", key_base=1)
     mp_f32, _ = bench_rollout(mp_cfg, 250, dtype="f32", key_base=2)
     mp_int8, _ = bench_rollout(mp_cfg, 250, dtype="int8", key_base=5)
+    mp_int4, _ = bench_rollout(mp_cfg, 250, dtype="int4", key_base=6)
     cyl_bf16, _ = bench_rollout(cyl_cfg, 399, dtype="bf16", key_base=3)
     cyl_f32, _ = bench_rollout(cyl_cfg, 399, dtype="f32", key_base=4)
 
@@ -166,6 +182,10 @@ def main():
         "multiphase_int8w": round(mp_int8, 3),
         "multiphase_int8w_vs_baseline": ratio(mp_int8, mp_ref),
         "int8w_drift_on_trained_weights": INT8_DRIFT,
+        # Serving-mode int4 (native jnp.int4, packed 2/byte in HBM).
+        "multiphase_int4w": round(mp_int4, 3),
+        "multiphase_int4w_vs_baseline": ratio(mp_int4, mp_ref),
+        "int4w_drift_on_trained_weights": INT4_DRIFT,
         "scan_vs_prefix_on_chip": SCAN_VS_PREFIX_ON_CHIP,
     }))
 

@@ -76,12 +76,14 @@ def main(argv=None):
     parser.add_argument("--synthetic", action="store_true",
                         help="use generated synthetic data")
     parser.add_argument("--save_dir", default=None)
-    parser.add_argument("--precision", choices=["f32", "bf16", "int8"],
+    parser.add_argument("--precision",
+                        choices=["f32", "bf16", "int8", "int4"],
                         default="f32",
                         help="serving precision for `temporal test`: bf16 "
-                             "casts the big matmul weights, int8 quantizes "
-                             "them per-output-channel (quantify drift with "
-                             "tools/measure_bf16_drift.py first)")
+                             "casts the big matmul weights, int8/int4 "
+                             "quantize them per-output-channel (quantify "
+                             "drift with tools/measure_bf16_drift.py "
+                             "first; int4's grid is 16x coarser)")
     parser.add_argument("--mesh", default="auto",
                         help="device mesh for train modes: 'auto' (all "
                              "visible devices data-parallel when more than "
@@ -228,12 +230,14 @@ def main(argv=None):
                 params = cast_weights_bf16(params)
                 spatial_params = cast_weights_bf16(td.latent_service.params)
                 print("Serving precision: bf16 weights (rollout + decode)")
-            elif args.precision == "int8":
-                from sea_tpu.utils.precision import quantize_weights_int8
-                params = quantize_weights_int8(params)
-                spatial_params = quantize_weights_int8(
-                    td.latent_service.params)
-                print("Serving precision: int8 weights "
+            elif args.precision in ("int8", "int4"):
+                from sea_tpu.utils import precision as prec
+                quantize = (prec.quantize_weights_int8
+                            if args.precision == "int8"
+                            else prec.quantize_weights_int4)
+                params = quantize(params)
+                spatial_params = quantize(td.latent_service.params)
+                print(f"Serving precision: {args.precision} weights "
                       "(per-output-channel, rollout + decode)")
             tcfg = case.temporal
             if tcfg.ib_addition_mode != "attention" and tcfg.src_len == 0:

@@ -30,20 +30,12 @@ def to_f32(tree):
     return cast_floating(tree, jnp.float32)
 
 
-def quantize_weights_int8(tree, min_size: int = 1 << 16):
-    """Weight-only int8 for serving rollouts: replace each big 2-D matmul
-    weight (a ``{"w": [in, out], ...}`` linear param dict) with
-    ``{"w_q": int8 [in, out], "w_s": f32 [out], ...}`` — symmetric
-    per-output-channel quantization. ops.layers.linear dequantizes on the
-    fly (int8 -> bf16 widen in-register, f32 accumulate, scale after), so
-    HBM reads 1 byte/weight instead of 4 (f32) or 2 (bf16). The B=1
-    autoregressive rollout is HBM-bound on the weight stream (BASELINE.md
-    roofline row), so this is the remaining single-chip lever after bf16.
-
-    Norms, biases, embeddings, and anything small or non-matmul stay f32
-    (the walk only rewrites dicts that look like linear params). Quantify
-    drift on trained weights before serving (tools/measure_bf16_drift.py
-    --dtype int8)."""
+def _quantize_weights(tree, min_size, quantize_leaf):
+    """Shared walk for the weight-only quantizers: rewrite each big 2-D
+    matmul weight (a ``{"w": [in, out], ...}`` linear param dict) to
+    ``{"w_q": int [in, out], "w_s": f32 [out], ...}``. Norms, biases,
+    embeddings, and anything small or non-matmul stay f32 (only dicts
+    that look like linear params are rewritten)."""
     def is_quantizable(node):
         w = node.get("w")
         return (w is not None and hasattr(w, "ndim") and w.ndim == 2
@@ -53,10 +45,7 @@ def quantize_weights_int8(tree, min_size: int = 1 << 16):
     def walk(node):
         if isinstance(node, dict):
             if is_quantizable(node):
-                w = node["w"].astype(jnp.float32)
-                s = jnp.max(jnp.abs(w), axis=0) / 127.0
-                s = jnp.where(s == 0.0, 1.0, s)
-                q = jnp.clip(jnp.round(w / s), -127, 127).astype(jnp.int8)
+                q, s = quantize_leaf(node["w"].astype(jnp.float32))
                 out = {k: walk(v) for k, v in node.items() if k != "w"}
                 out["w_q"] = q
                 out["w_s"] = s
@@ -67,6 +56,59 @@ def quantize_weights_int8(tree, min_size: int = 1 << 16):
         return node
 
     return walk(tree)
+
+
+def quantize_weights_int8(tree, min_size: int = 1 << 16):
+    """Weight-only int8 for serving rollouts: symmetric per-output-channel
+    quantization of the big matmul weights. ops.layers.linear dequantizes
+    on the fly (int8 -> bf16 widen in-register, f32 accumulate, scale
+    after), so HBM reads 1 byte/weight instead of 4 (f32) or 2 (bf16). The
+    B=1 autoregressive rollout is HBM-bound on the weight stream
+    (BASELINE.md roofline row), so this is the remaining single-chip lever
+    after bf16. Quantify drift on trained weights before serving
+    (tools/measure_bf16_drift.py --dtype int8)."""
+    def leaf(w):
+        s = jnp.max(jnp.abs(w), axis=0) / 127.0
+        s = jnp.where(s == 0.0, 1.0, s)
+        q = jnp.clip(jnp.round(w / s), -127, 127).astype(jnp.int8)
+        return q, s
+    return _quantize_weights(tree, min_size, leaf)
+
+
+def quantize_weights_int4(tree, min_size: int = 1 << 16):
+    """Weight-only int4 (native ``jnp.int4`` storage — XLA packs two
+    nibbles per byte in HBM, halving the weight stream vs int8 again).
+    Same structure as int8: symmetric per-output-channel, range [-7, 7],
+    dequantized by the usual ``w_q.astype(bf16) * w_s`` inside
+    ops.layers.linear. The int4 grid is 16x coarser than int8's, so ALWAYS
+    measure drift on the trained weights first
+    (tools/measure_bf16_drift.py --dtype int4).
+
+    Two JAX-version quirks are worked around here: (1) the int4 convert
+    must run under jit (eager ``astype(int4)`` is unsupported); (2) on
+    TPU the S4 result must be produced directly in the PACKED layout
+    (``sub_byte_element_size_in_bits=4``) via an explicit out format —
+    a jit's default S4 output is byte-per-nibble, and the packed<->
+    unpacked relayout device_put recurses in this JAX version the moment
+    the array is passed to any other jitted function."""
+    def _convert(w):
+        s = jnp.max(jnp.abs(w), axis=0) / 7.0
+        s = jnp.where(s == 0.0, 1.0, s)
+        q = jnp.clip(jnp.round(w / s), -7, 7).astype(jnp.int4)
+        return q, s
+
+    if jax.default_backend() == "tpu":
+        from jax._src.layout import Format, Layout
+        import jax.sharding as shd
+        sharding = shd.SingleDeviceSharding(jax.devices()[0])
+        packed = Format(Layout(major_to_minor=(0, 1),
+                               tiling=((8, 128), (8, 1)),
+                               sub_byte_element_size_in_bits=4), sharding)
+        default = Format(None, sharding)
+        leaf = jax.jit(_convert, out_shardings=(packed, default))
+    else:
+        leaf = jax.jit(_convert)
+    return _quantize_weights(tree, min_size, leaf)
 
 
 def train_cast(compute_dtype: str):

@@ -134,6 +134,54 @@ def test_int8_weight_quantization():
     assert "w" in quantize_weights_int8({"ln": ln})["ln"]
 
 
+def test_int4_weight_quantization():
+    """int4 mirrors int8 (native jnp.int4 storage, [-7, 7] grid) with a
+    proportionally looser error bound; linear() consumes w_q untouched."""
+    from sea_tpu.ops.layers import init_linear, linear
+    from sea_tpu.utils.precision import quantize_weights_int4
+    key = jax.random.PRNGKey(0)
+    p = init_linear(key, 512, 512)
+    q = quantize_weights_int4({"lin": p}, min_size=512 * 512)["lin"]
+    assert q["w_q"].dtype == jnp.int4 and "w" not in q and "b" in q
+    x = jax.random.normal(jax.random.fold_in(key, 1), (3, 512))
+    got = jax.jit(linear)(q, x)
+    exact = linear(p, x)
+    rel = float(jnp.linalg.norm(got - exact) / jnp.linalg.norm(exact))
+    # Max-scaled symmetric int4 on gaussian weights has an analytic
+    # matmul error of ~max|w|/(7*sqrt(12)*sigma) ~= 13-14% (vs int8's
+    # ~0.75%): 4-bit weight-only is a lossy serving mode by nature, so
+    # this test pins the EXPECTED noise floor, not a small-drift claim —
+    # trained-weight drift is measured on-chip before anyone serves int4.
+    assert 0.08 < rel < 0.2, rel
+    # Small / non-linear leaves are untouched.
+    ln = {"w": jnp.ones((512,))}
+    assert "w" in quantize_weights_int4({"ln": ln})["ln"]
+
+
+def test_int4_rollout_close_to_f32():
+    """Serving-mode int4 rollout stays within its (looser) budget on
+    random weights; trained-weight drift is quantified separately
+    on-chip (tools/measure_bf16_drift.py --dtype int4)."""
+    from sea_tpu.configs.base import TemporalModelConfig
+    from sea_tpu.models.temporal import init_temporal
+    from sea_tpu.rollout.engine import rollout_scan
+    from sea_tpu.utils.precision import quantize_weights_int4
+    cfg = TemporalModelConfig(num_layers=1, embed_dim=64, n_heads=2,
+                              block_size=128, scale_ratio=2, num_fields=2,
+                              down_proj=2, dropout=0.0, exchange_mode="sea",
+                              ib_scale_mode="mlp", ib_addition_mode="add",
+                              ln_type="adaln")
+    params = init_temporal(jax.random.PRNGKey(0), cfg)
+    qparams = quantize_weights_int4(params, min_size=64 * 64)
+    key = jax.random.PRNGKey(1)
+    x0 = jax.random.normal(key, (2, 2, 64))
+    ib = jax.random.normal(jax.random.fold_in(key, 1), (2, 6, 1))
+    ref = rollout_scan(params, cfg, x0, ib)
+    got = rollout_scan(qparams, cfg, x0, ib)
+    rel = float(jnp.linalg.norm(got - ref) / jnp.linalg.norm(ref))
+    assert rel < 0.25, rel
+
+
 def test_int8_rollout_close_to_f32():
     """Serving-mode int8 rollout stays close to the f32 rollout on random
     weights (trained-weight drift is quantified separately on-chip)."""

@@ -9,7 +9,7 @@ plus the latent-space rel-L2 deviation between the two rollouts.
 
 Usage:
     python tools/measure_bf16_drift.py [--save_dir /tmp/qrun] [--cpu]
-                                       [--dtype bf16|int8]
+                                       [--dtype bf16|int8|int4]
 
 --dtype int8 measures the serving-mode weight-only int8 quantization
 (utils/precision.py: quantize_weights_int8) instead of bf16.
@@ -33,7 +33,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--save_dir", default="/tmp/qrun")
     ap.add_argument("--cpu", action="store_true", default=True)
-    ap.add_argument("--dtype", choices=["bf16", "int8"], default="bf16")
+    ap.add_argument("--dtype", choices=["bf16", "int8", "int4"],
+                    default="bf16")
     ap.add_argument("--e2e", action="store_true",
                     help="end-to-end serving drift: reduce the stage-1 "
                          "DECODE weights too and evaluate through the fused "
@@ -56,6 +57,7 @@ def main():
     from sea_tpu.train.train_temporal import process_data
     from sea_tpu.utils.checkpoint import load_params
     from sea_tpu.utils.precision import (cast_weights_bf16,
+                                         quantize_weights_int4,
                                          quantize_weights_int8)
 
     case = get_case("cylinder_flow")
@@ -75,8 +77,9 @@ def main():
                         "temporal_cylinder_flow_run1.npz")
     params = load_params(ckpt, template)
 
-    reduce = (quantize_weights_int8 if args.dtype == "int8"
-              else cast_weights_bf16)
+    reduce = {"int8": quantize_weights_int8,
+              "int4": quantize_weights_int4,
+              "bf16": cast_weights_bf16}[args.dtype]
     params_bf16 = reduce(params)
     if args.e2e:
         from sea_tpu.train.evaluate import fused_autoregressive_evaluation
