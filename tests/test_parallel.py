@@ -157,6 +157,27 @@ def test_sharded_rollout_int8_weights():
 
 
 @requires_8
+def test_sharded_rollout_int4_weights():
+    """int4 serving composes with the TP specs the same way int8 does
+    (same w_q/w_s structure; on CPU the native-int4 leaves carry no
+    custom layout, so mesh placement is exercised directly)."""
+    from sea_tpu.utils.precision import quantize_weights_int4
+    cfg = _tcfg()
+    params = quantize_weights_int4(init_temporal(jax.random.PRNGKey(4), cfg),
+                                   min_size=32 * 32)
+    B, T = 8, 5
+    x0 = jax.random.normal(jax.random.PRNGKey(5),
+                           (B, cfg.num_fields, cfg.embed_dim))
+    ib = jax.random.normal(jax.random.PRNGKey(6), (B, T, cfg.ib_num))
+
+    ref = rollout_scan(params, cfg, x0, ib)
+    mesh = make_mesh(n_data=4, n_model=2)
+    run, pp, place = make_sharded_rollout(mesh, cfg, params)
+    got = run(pp, *place(x0, ib))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4)
+
+
+@requires_8
 @pytest.mark.heavy
 def test_temporal_driver_with_mesh(tmp_path):
     """The full temporal training driver on a device mesh."""
