@@ -46,13 +46,14 @@ BF16_DRIFT = {"decoded_rel_mse_rel_change": 4.1e-05,
               "latent_rollout_rel_l2": 0.001207}
 INT8_DRIFT = {"decoded_rel_mse_rel_change": -0.000525,
               "latent_rollout_rel_l2": 0.006717}
-# int4 (round-3 retrain checkpoints, same tool --dtype int4): the 4-bit
-# grid's ~13% per-matmul noise (tests/test_utils.py analytic bound)
-# largely washes out in the end metric — decoded rel-MSE -0.78%, latent
-# rel-L2 4.6%, just inside the 5% budget. Serve int4 only after
-# re-measuring drift on YOUR trained weights.
-INT4_DRIFT = {"decoded_rel_mse_rel_change": -0.007813,
-              "latent_rollout_rel_l2": 0.045536}
+# int4 (round-3 retrain checkpoints, same tool --dtype int4, measured at
+# the SERVING config incl. bf16 KV caches): the 4-bit grid's ~13%
+# per-matmul noise (tests/test_utils.py analytic bound) largely washes
+# out in the end metric — decoded rel-MSE -0.88%, latent rel-L2 4.6%,
+# just inside the 5% budget. Serve int4 only after re-measuring drift
+# on YOUR trained weights.
+INT4_DRIFT = {"decoded_rel_mse_rel_change": -0.00882,
+              "latent_rollout_rel_l2": 0.045871}
 # Same-chip architecture A/B (tools/bench_scan_vs_prefix.py, round 3):
 # time(prefix-recompute) / time(scan) on one v5e at B=1. Values < 1 mean
 # the reference's own strategy, compiled as bucketed XLA programs, beats
@@ -100,10 +101,16 @@ def bench_rollout(cfg, steps, *, dtype: str, key_base: int):
                              (BATCH, steps, cfg.ib_num))
            for i in range(REPEATS + 1)]
 
+    # int4 serves with bf16 KV caches (the weight stream no longer
+    # dominates there; +8.6% measured — rollout/engine.rollout).
+    cache_dtype = jnp.bfloat16 if dtype == "int4" else jnp.float32
+
     @jax.jit
     def run_many(p, x0_stack, ib_stack):
-        outs = jax.lax.map(lambda xi: rollout_scan(p, cfg, xi[0], xi[1]),
-                           (x0_stack, ib_stack))
+        outs = jax.lax.map(
+            lambda xi: rollout_scan(p, cfg, xi[0], xi[1],
+                                    cache_dtype=cache_dtype),
+            (x0_stack, ib_stack))
         return outs.sum()
 
     warm_stack = (jnp.stack(x0s[1:]), jnp.stack(ibs[1:]))

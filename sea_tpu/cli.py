@@ -240,17 +240,24 @@ def main(argv=None):
                 print(f"Serving precision: {args.precision} weights "
                       "(per-output-channel, rollout + decode)")
             tcfg = case.temporal
+            # bf16 KV caches only pay at int4, where the weight stream no
+            # longer dominates HBM traffic (+8.6%; they LOSE 3-5% for
+            # bf16/int8 weights — BASELINE.md cache-dtype A/B).
+            import jax.numpy as jnp
+            cache_dtype = (jnp.bfloat16 if args.precision == "int4"
+                           else jnp.float32)
             if tcfg.ib_addition_mode != "attention" and tcfg.src_len == 0:
                 # Serving path: rollout+decode+unpatch+metrics as one
                 # compiled on-device program (rollout/e2e.py).
                 results = fused_autoregressive_evaluation(
                     params, case, td.test, td.latent_service,
                     td.mesh_processor, spatial_params=spatial_params,
-                    epoch=0, plot_traj=True)
+                    epoch=0, plot_traj=True, cache_dtype=cache_dtype)
             else:  # staged fallback for non-scan-incremental configs
                 results = full_autoregressive_evaluation(
                     params, case, td.test, td.latent_service,
-                    td.mesh_processor, epoch=0, plot_traj=True)
+                    td.mesh_processor, epoch=0, plot_traj=True,
+                    cache_dtype=cache_dtype)
             print("Test Results:")
             for key in ("encoded_rel_mse", "decoded_rel_mse"):
                 print(f"{key}: {results[key]}")

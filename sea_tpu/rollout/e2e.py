@@ -33,7 +33,8 @@ def make_e2e_rollout_eval(tcfg: TemporalModelConfig,
                           scfg: SpatialModelConfig,
                           part: PartitionIndex, *,
                           sea_layout: str = "isolate",
-                          scalers=None, field_groups=None):
+                          scalers=None, field_groups=None,
+                          cache_dtype=jnp.float32):
     """Returns a jitted fn(temporal_params, spatial_params, x0, ib, truth,
     tgt_lat) -> (decoded_fields [B,T,N,F], rel_mse_per_time [B,T,F],
     encoded_rel_mse scalar).
@@ -76,7 +77,8 @@ def make_e2e_rollout_eval(tcfg: TemporalModelConfig,
     @jax.jit
     def run(tparams, sparams, x0, ib, truth, tgt_lat):
         B, T = ib.shape[0], ib.shape[1]
-        preds = rollout_scan(tparams, tcfg, x0, ib)  # [B,T,G,E]
+        preds = rollout_scan(tparams, tcfg, x0, ib,
+                             cache_dtype=cache_dtype)  # [B,T,G,E]
         enc_rel = jnp.mean(M.relative_mse(preds.astype(jnp.float32),
                                           tgt_lat))
         lat = preds.reshape(B * T, G, P, D).transpose(0, 2, 1, 3)

@@ -57,10 +57,11 @@ def rollout_scan(params, cfg: TemporalModelConfig, x0, ib, *,
     return jnp.swapaxes(ys, 0, 1)  # [B, T, G, E]
 
 
-@functools.partial(jax.jit, static_argnums=(1,), donate_argnums=())
-def rollout_jit(params, cfg: TemporalModelConfig, x0, ib):
-    """Jitted rollout; cfg is static (hashable frozen dataclass)."""
-    return rollout_scan(params, cfg, x0, ib)
+@functools.partial(jax.jit, static_argnums=(1, 4), donate_argnums=())
+def rollout_jit(params, cfg: TemporalModelConfig, x0, ib,
+                cache_dtype=jnp.float32):
+    """Jitted rollout; cfg and cache_dtype are static."""
+    return rollout_scan(params, cfg, x0, ib, cache_dtype=cache_dtype)
 
 
 def rollout_prefix_recompute(params, cfg: TemporalModelConfig, x0, ib):
@@ -117,7 +118,8 @@ def rollout_prefix_bucketed(params, cfg: TemporalModelConfig, x0, ib, *,
     return buf[:, 1:]
 
 
-def rollout(params, cfg: TemporalModelConfig, x0, ib):
+def rollout(params, cfg: TemporalModelConfig, x0, ib, *,
+            cache_dtype=jnp.float32):
     """Dispatch: scan engine when the model is incrementally computable,
     prefix recompute otherwise. All four exchange modes (sea / pool /
     addition / simple) are incremental — the pool token is per-token
@@ -128,7 +130,12 @@ def rollout(params, cfg: TemporalModelConfig, x0, ib):
       so the model is NOT causal and earlier tokens' states change as the
       prefix grows — prefix recompute is the defining semantics there; both
       shipped configs use src_len=0).
+
+    cache_dtype: KV-cache storage dtype (scan engine only). bf16 caches
+    are the int4-serving default — they buy +8.6% there, where the
+    weight stream no longer dominates, and LOSE 3-5% for bf16w/int8w
+    weights (measured, BASELINE.md), so f32 stays the default.
     """
     if cfg.ib_addition_mode == "attention" or cfg.src_len != 0:
         return rollout_prefix_recompute(params, cfg, x0, ib)
-    return rollout_jit(params, cfg, x0, ib)
+    return rollout_jit(params, cfg, x0, ib, cache_dtype)

@@ -49,7 +49,8 @@ def full_autoregressive_evaluation(params, case: CaseConfig, windows,
                                    latent_service: LatentService,
                                    mesh_processor: MeshProcessor, *,
                                    epoch: int = 0, plot_traj: bool = True,
-                                   save_artifacts: bool = True
+                                   save_artifacts: bool = True,
+                                   cache_dtype=jnp.float32
                                    ) -> Dict[str, Any]:
     """windows: TemporalWindows (src, tgt, tgt_original, ib).
 
@@ -62,7 +63,8 @@ def full_autoregressive_evaluation(params, case: CaseConfig, windows,
     ib = jnp.asarray(windows.ib)
     B, T = src.shape[0], src.shape[1]
 
-    preds_dev = rollout(params, tcfg, src[:, 0], ib)  # [B,T,G,E]
+    preds_dev = rollout(params, tcfg, src[:, 0], ib,
+                        cache_dtype=cache_dtype)  # [B,T,G,E]
     encoded_rel_mse = float(jnp.mean(
         M.relative_mse(preds_dev, jnp.asarray(tgt))))
     preds = np.asarray(preds_dev)
@@ -144,7 +146,8 @@ def fused_autoregressive_evaluation(params, case: CaseConfig, windows,
                                     mesh_processor: MeshProcessor, *,
                                     spatial_params=None, epoch: int = 0,
                                     plot_traj: bool = True,
-                                    save_artifacts: bool = True
+                                    save_artifacts: bool = True,
+                                    cache_dtype=jnp.float32
                                     ) -> Dict[str, Any]:
     """Serving-mode evaluation: rollout + decode + un-patch + metrics as ONE
     compiled on-device program (rollout/e2e.py) — no host bounce between
@@ -162,7 +165,7 @@ def fused_autoregressive_evaluation(params, case: CaseConfig, windows,
     run = make_e2e_rollout_eval(
         case.temporal, latent_service.cfg, mesh_processor.partition,
         sea_layout=case.run.sea_layout, scalers=mesh_processor.scalers,
-        field_groups=mesh_processor.field_groups)
+        field_groups=mesh_processor.field_groups, cache_dtype=cache_dtype)
     sparams = spatial_params if spatial_params is not None \
         else latent_service.params
     src = jnp.asarray(windows.src)

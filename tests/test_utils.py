@@ -180,6 +180,13 @@ def test_int4_rollout_close_to_f32():
     got = rollout_scan(qparams, cfg, x0, ib)
     rel = float(jnp.linalg.norm(got - ref) / jnp.linalg.norm(ref))
     assert rel < 0.25, rel
+    # The int4 SERVING config adds bf16 KV caches; the cache cast is
+    # noise next to the 4-bit weight grid.
+    got16 = rollout_scan(qparams, cfg, x0, ib, cache_dtype=jnp.bfloat16)
+    rel16 = float(jnp.linalg.norm(got16 - ref) / jnp.linalg.norm(ref))
+    assert rel16 < 0.25, rel16
+    dcache = float(jnp.linalg.norm(got16 - got) / jnp.linalg.norm(got))
+    assert dcache < 0.02, dcache
 
 
 def test_int8_rollout_close_to_f32():

@@ -81,6 +81,9 @@ def main():
               "int4": quantize_weights_int4,
               "bf16": cast_weights_bf16}[args.dtype]
     params_bf16 = reduce(params)
+    # Measure the exact serving configuration: int4 serves with bf16 KV
+    # caches (rollout/engine.rollout docstring), the rest with f32.
+    cache_dtype = jnp.bfloat16 if args.dtype == "int4" else jnp.float32
     if args.e2e:
         from sea_tpu.train.evaluate import fused_autoregressive_evaluation
         res_f32 = fused_autoregressive_evaluation(
@@ -90,20 +93,21 @@ def main():
             params_bf16, case, td.test, td.latent_service,
             td.mesh_processor,
             spatial_params=reduce(td.latent_service.params),
-            save_artifacts=False)
+            save_artifacts=False, cache_dtype=cache_dtype)
     else:
         res_f32 = full_autoregressive_evaluation(
             params, case, td.test, td.latent_service, td.mesh_processor,
             save_artifacts=False)
         res_bf16 = full_autoregressive_evaluation(
             params_bf16, case, td.test, td.latent_service, td.mesh_processor,
-            save_artifacts=False)
+            save_artifacts=False, cache_dtype=cache_dtype)
 
     # Latent drift: rel-L2 between the two rollouts themselves.
     src = jnp.asarray(td.test.src)
     ib = jnp.asarray(td.test.ib)
     p32 = rollout(params, case.temporal, src[:, 0], ib)
-    p16 = rollout(params_bf16, case.temporal, src[:, 0], ib)
+    p16 = rollout(params_bf16, case.temporal, src[:, 0], ib,
+                  cache_dtype=cache_dtype)
     num = jnp.sqrt(jnp.sum((p32 - p16) ** 2))
     den = jnp.sqrt(jnp.sum(p32 ** 2)) + 1e-8
     latent_rel_l2 = float(num / den)
