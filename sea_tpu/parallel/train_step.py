@@ -20,7 +20,7 @@ import functools
 import jax
 import jax.numpy as jnp
 import optax
-from jax.sharding import Mesh
+from jax.sharding import Mesh, NamedSharding, PartitionSpec
 
 from sea_tpu.configs.base import SpatialModelConfig, TemporalModelConfig
 from sea_tpu.models.spatial import spatial_forward
@@ -49,9 +49,20 @@ def _place_state(mesh, params, pspec, tx, init_opt_state=None):
     placed_params = jax.device_put(params, pspec)
     placed_opt = jax.jit(tx.init)(placed_params)
     if init_opt_state is not None:
+        def target(fresh):
+            # Leaves that don't depend on any input (Adam's step count)
+            # come out of jit(tx.init) with a maximal single-device
+            # sharding; jit tolerates those as ARGUMENTS only when they
+            # were produced by jit itself. An explicitly device_put copy
+            # must be replicated over the mesh instead, or the resumed
+            # step rejects the mixed device sets.
+            s = fresh.sharding
+            if isinstance(s, NamedSharding):
+                return s
+            return NamedSharding(mesh, PartitionSpec())
         placed_opt = jax.tree.map(
             lambda restored, fresh: jax.device_put(
-                jnp.asarray(restored), fresh.sharding),
+                jnp.asarray(restored), target(fresh)),
             init_opt_state, placed_opt)
     return placed_params, placed_opt
 

@@ -190,7 +190,7 @@ def jnp_asarray(x):
 
 
 @pytest.mark.heavy
-def test_sharded_resume_continues_training(tmp_path, synth):
+def test_sharded_resume_continues_training(tmp_path):
     """Round-2 verdict item #7: train sharded -> checkpoint -> restore
     params AND opt state onto the mesh -> training continues (loss finite,
     moments non-zero on the mesh)."""
@@ -207,6 +207,10 @@ def test_sharded_resume_continues_training(tmp_path, synth):
 
     case = tiny_case(tmp_path)
     mesh = make_mesh(n_data=4, n_model=2)
+    # The DP axis rounds the batch up to 4, so this test needs >= 8
+    # trajectories (temporal train fraction 0.5, one window each) — the
+    # shared 4-trajectory fixture leaves zero full batches.
+    synth = cylinder_like(tr=12, T=8, n_nodes=120, seed=5)
     sparams, _ = train_spatial(case, data=synth, epochs=1)
     train_temporal(case, data=synth, spatial_params=sparams, epochs=1,
                    mesh=mesh)
