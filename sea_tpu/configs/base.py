@@ -197,6 +197,12 @@ class TrainConfig:
     # two scalar outputs), so the cost is usually nil — the flag exists
     # for configs where fusion does not happen.
     log_norms: bool = True
+    # Per-TENSOR grad/param L2 norms in the train-step stats — the
+    # wandb.watch histogram equivalent (reference utils/train_utils.py:
+    # 75-76). Logged under phase "tensors" once per epoch (last batch).
+    # Requires log_norms. Off by default: ~2 scalars per tensor of extra
+    # readback on logging epochs.
+    log_per_tensor: bool = False
     # AdamW first-moment storage dtype: "bfloat16" halves mu's HBM
     # traffic (train/optim.py) — the update passes are the largest
     # single cost of the big-model train step. "float32" (default)

@@ -32,13 +32,21 @@ from sea_tpu.train import metrics as M
 
 
 
-def _norm_stats(grads, params, log_norms: bool):
+def _norm_stats(grads, params, log_norms: bool, per_tensor: bool = False):
     """Per-step observability norms (TrainConfig.log_norms): two extra
-    full passes over the param pytree when on, zeros when off."""
-    if log_norms:
-        return {"grad_norm": optax.global_norm(grads),
-                "param_norm": optax.global_norm(params)}
-    return {"grad_norm": jnp.zeros(()), "param_norm": jnp.zeros(())}
+    full passes over the param pytree when on, zeros when off.
+    ``per_tensor`` (TrainConfig.log_per_tensor) additionally emits one L2
+    norm per tensor — the wandb.watch gradient/parameter histogram
+    equivalent (reference utils/train_utils.py:75-76), see
+    metrics.per_tensor_norms."""
+    if not log_norms:
+        return {"grad_norm": jnp.zeros(()), "param_norm": jnp.zeros(())}
+    stats = {"grad_norm": optax.global_norm(grads),
+             "param_norm": optax.global_norm(params)}
+    if per_tensor:
+        stats["tensors"] = {**M.per_tensor_norms(grads, "Grad_Norm/"),
+                            **M.per_tensor_norms(params, "Param_Norm/")}
+    return stats
 
 def _place_state(mesh, params, pspec, tx, init_opt_state=None):
     """Place params per the TP spec and build optimizer state *under jit*
@@ -71,7 +79,8 @@ def make_sharded_temporal_train_step(mesh: Mesh, cfg: TemporalModelConfig,
                                      tx, params, *,
                                      compute_dtype: str = "float32",
                                      init_opt_state=None,
-                                     log_norms: bool = True):
+                                     log_norms: bool = True,
+                                     per_tensor: bool = False):
     pspec = temporal_param_shardings(mesh, params)
     placed_params, placed_opt = _place_state(mesh, params, pspec, tx,
                                              init_opt_state)
@@ -87,7 +96,8 @@ def make_sharded_temporal_train_step(mesh: Mesh, cfg: TemporalModelConfig,
             return M.mse(out.astype(jnp.float32), tgt)
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = tx.update(grads, opt_state, params)
-        stats = {"loss": loss, **_norm_stats(grads, params, log_norms)}
+        stats = {"loss": loss,
+                 **_norm_stats(grads, params, log_norms, per_tensor)}
         params = optax.apply_updates(params, updates)
         return params, opt_state, stats
 
@@ -106,7 +116,8 @@ def make_sharded_spatial_train_step(mesh: Mesh, cfg: SpatialModelConfig,
                                     kl_weight_max: float = 0.0,
                                     total_steps: int = 1,
                                     init_opt_state=None,
-                                    log_norms: bool = True):
+                                    log_norms: bool = True,
+                                    per_tensor: bool = False):
     """Signature-compatible with train_spatial.make_train_step: the jitted
     step takes (params, opt_state, batch, rng, iteration) and returns the
     same stats dict, so the training loop is identical on both paths.
@@ -143,7 +154,7 @@ def make_sharded_spatial_train_step(mesh: Mesh, cfg: SpatialModelConfig,
         updates, opt_state = tx.update(grads, opt_state, params)
         stats = {"loss": loss, "recon_loss": recon_loss, "kl_loss": kl,
                  "r2": M.r2(recon, batch),
-                 **_norm_stats(grads, params, log_norms)}
+                 **_norm_stats(grads, params, log_norms, per_tensor)}
         params = optax.apply_updates(params, updates)
         return params, opt_state, stats
 
@@ -155,7 +166,8 @@ def make_sharded_spatial_train_step(mesh: Mesh, cfg: SpatialModelConfig,
 
 def make_seq_parallel_train_step(mesh: Mesh, cfg: TemporalModelConfig,
                                  tx, params, *, init_opt_state=None,
-                                 log_norms: bool = True):
+                                 log_norms: bool = True,
+                                 per_tensor: bool = False):
     """Sequence-parallel (ring attention) teacher-forced training: the TIME
     axis of src/tgt/ib shards over the mesh's 'seq' axis, params replicate,
     and every attention runs as a ring (parallel/ring_attention.py) — each
@@ -179,7 +191,8 @@ def make_seq_parallel_train_step(mesh: Mesh, cfg: TemporalModelConfig,
             return M.mse(out, tgt)
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = tx.update(grads, opt_state, params)
-        stats = {"loss": loss, **_norm_stats(grads, params, log_norms)}
+        stats = {"loss": loss,
+                 **_norm_stats(grads, params, log_norms, per_tensor)}
         params = optax.apply_updates(params, updates)
         return params, opt_state, stats
 

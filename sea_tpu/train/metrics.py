@@ -10,9 +10,40 @@ Mirror of reference utils/train_utils.py:
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 EPS = 1e-8
+
+
+def _path_str(path) -> str:
+    """'blocks/0/attn/wq'-style name from a tree_flatten_with_path key path."""
+    parts = []
+    for k in path:
+        if hasattr(k, "key"):
+            parts.append(str(k.key))
+        elif hasattr(k, "idx"):
+            parts.append(str(k.idx))
+        elif hasattr(k, "name"):
+            parts.append(str(k.name))
+        else:
+            parts.append(str(k))
+    return "/".join(parts)
+
+
+def per_tensor_norms(tree, prefix: str = ""):
+    """Flat {prefix + path: L2 norm} over every leaf of a pytree.
+
+    The TPU-native stand-in for the reference's ``wandb.watch`` per-tensor
+    gradient/parameter histograms (utils/train_utils.py:75-76): histograms
+    are host-side observables that don't map onto a jitted step, so each
+    tensor is reduced to one scalar norm *inside* the step — XLA fuses the
+    reductions, and the host reads back one scalar per tensor only on the
+    epochs that log them."""
+    flat, _ = jax.tree_util.tree_flatten_with_path(tree)
+    return {prefix + _path_str(path):
+            jnp.sqrt(jnp.sum(jnp.square(leaf.astype(jnp.float32))))
+            for path, leaf in flat}
 
 
 def mse(pred, truth):

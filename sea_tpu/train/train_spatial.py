@@ -79,7 +79,7 @@ def process_data(case: CaseConfig, *, data=None) -> SpatialData:
 def make_train_step(cfg: SpatialModelConfig, tx, *, kl_weight_min=0.0,
                     kl_weight_max=0.0, total_steps: int = 1,
                     compute_dtype: str = "float32",
-                    log_norms: bool = True):
+                    log_norms: bool = True, per_tensor: bool = False):
     from sea_tpu.utils.precision import train_cast
     cast_p, cast_x = train_cast(compute_dtype)
 
@@ -112,7 +112,7 @@ def make_train_step(cfg: SpatialModelConfig, tx, *, kl_weight_min=0.0,
         # scalar readback, no per-tensor host traffic.
         from sea_tpu.parallel.train_step import _norm_stats
         stats = {"loss": loss, "recon_loss": recon_loss, "kl_loss": kl,
-                 **_norm_stats(grads, params, log_norms)}
+                 **_norm_stats(grads, params, log_norms, per_tensor)}
         params = optax.apply_updates(params, updates)
         stats["r2"] = M.r2(recon, batch)
         return params, opt_state, stats
@@ -188,7 +188,8 @@ def train(case: CaseConfig,
                 mesh, cfg, tx, params, compute_dtype=tcfg.compute_dtype,
                 kl_weight_min=tcfg.kl_weight_min,
                 kl_weight_max=tcfg.kl_weight_max, total_steps=total_steps,
-                init_opt_state=init_opt_state, log_norms=tcfg.log_norms)
+                init_opt_state=init_opt_state, log_norms=tcfg.log_norms,
+                per_tensor=tcfg.log_per_tensor)
     else:
         opt_state = (jax.tree.map(jnp.asarray, init_opt_state)
                      if init_opt_state is not None else tx.init(params))
@@ -197,7 +198,8 @@ def train(case: CaseConfig,
                                      kl_weight_max=tcfg.kl_weight_max,
                                      total_steps=total_steps,
                                      compute_dtype=tcfg.compute_dtype,
-                                     log_norms=tcfg.log_norms)
+                                     log_norms=tcfg.log_norms,
+                                     per_tensor=tcfg.log_per_tensor)
     eval_step = make_eval_step(cfg, kl_weight_min=tcfg.kl_weight_min,
                                kl_weight_max=tcfg.kl_weight_max,
                                total_steps=total_steps)
@@ -214,6 +216,7 @@ def train(case: CaseConfig,
         agg = {"loss": 0.0, "recon_loss": 0.0, "kl_loss": 0.0, "r2": 0.0,
                "grad_norm": 0.0, "param_norm": 0.0}
         nb = 0
+        last_stats = None
         for (batch,) in batch_iterator([sd.train], batch_size,
                                        shuffle=True,
                                        seed=case.spatial_split.random_seed,
@@ -228,6 +231,7 @@ def train(case: CaseConfig,
                 agg[k] += float(stats[k])
             nb += 1
             iteration += 1
+            last_stats = stats
         if nb == 0:
             raise ValueError(
                 f"train split has fewer than one batch of {batch_size} "
@@ -242,6 +246,11 @@ def train(case: CaseConfig,
         if cfg.variational:
             train_metrics["KL_Loss"] = agg["kl_loss"] / nb
         tracker.record_error("train", epoch, train_metrics)
+        if last_stats is not None and "tensors" in last_stats:
+            # Per-tensor observability (TrainConfig.log_per_tensor): one
+            # norm per grad/param tensor from the epoch's last batch.
+            tracker.record_error("tensors", epoch, {
+                k: float(v) for k, v in last_stats["tensors"].items()})
 
         if epoch % tcfg.validation_interval == 0 or epoch == n_epochs:
             vagg = {"loss": 0.0, "recon_loss": 0.0, "kl_loss": 0.0,

@@ -111,13 +111,18 @@ def process_data(case: CaseConfig, *, data=None,
 
 
 def make_train_step(cfg: TemporalModelConfig, tx, *,
-                    compute_dtype: str = "float32", log_norms: bool = True):
+                    compute_dtype: str = "float32", log_norms: bool = True,
+                    per_tensor: bool = False):
     """Numerics policy (utils.precision.train_cast): 'bfloat16' casts the
     big matmul weights inside the loss; 'bfloat16_mixed' additionally runs
     bf16 activations (f32 softmax/LN-stats/loss). AdamW keeps f32 master
     params either way. ``log_norms=False`` drops the per-step grad/param
     norm reductions (TrainConfig.log_norms; usually free — XLA fuses them
-    into the AdamW update passes on the measured configs)."""
+    into the AdamW update passes on the measured configs). ``per_tensor``
+    (TrainConfig.log_per_tensor) adds one L2 norm per gradient/parameter
+    tensor to the stats — the wandb.watch histogram equivalent
+    (reference utils/train_utils.py:75-76)."""
+    from sea_tpu.parallel.train_step import _norm_stats
     from sea_tpu.utils.precision import train_cast
     cast_p, cast_x = train_cast(compute_dtype)
 
@@ -130,13 +135,8 @@ def make_train_step(cfg: TemporalModelConfig, tx, *,
             return M.mse(out.astype(jnp.float32), tgt)
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = tx.update(grads, opt_state, params)
-        # wandb.watch equivalent (train_utils.py:75-76): global grad/param
-        # norms inside the jitted step, one scalar readback per batch.
         stats = {"loss": loss,
-                 "grad_norm": optax.global_norm(grads) if log_norms
-                 else jnp.zeros(()),
-                 "param_norm": optax.global_norm(params) if log_norms
-                 else jnp.zeros(())}
+                 **_norm_stats(grads, params, log_norms, per_tensor)}
         params = optax.apply_updates(params, updates)
         return params, opt_state, stats
     return step
@@ -196,7 +196,8 @@ def train(case: CaseConfig,
         train_step, params, opt_state, place_batch = \
             make_sharded_temporal_train_step(
                 mesh, cfg, tx, params, compute_dtype=tcfg.compute_dtype,
-                init_opt_state=init_opt_state, log_norms=tcfg.log_norms)
+                init_opt_state=init_opt_state, log_norms=tcfg.log_norms,
+                per_tensor=tcfg.log_per_tensor)
     elif seq_mesh is not None:
         ring = seq_mesh.shape["seq"]
         if tcfg.dataset_src_len % ring != 0:
@@ -208,13 +209,15 @@ def train(case: CaseConfig,
         train_step, params, opt_state, place_batch = \
             make_seq_parallel_train_step(seq_mesh, cfg, tx, params,
                                          init_opt_state=init_opt_state,
-                                         log_norms=tcfg.log_norms)
+                                         log_norms=tcfg.log_norms,
+                                         per_tensor=tcfg.log_per_tensor)
     else:
         opt_state = (jax.tree.map(jnp.asarray, init_opt_state)
                      if init_opt_state is not None else tx.init(params))
         train_step = make_train_step(cfg, tx,
                                      compute_dtype=tcfg.compute_dtype,
-                                     log_norms=tcfg.log_norms)
+                                     log_norms=tcfg.log_norms,
+                                     per_tensor=tcfg.log_per_tensor)
         place_batch = None
     eval_step = make_eval_step(cfg)
 
@@ -237,6 +240,7 @@ def train(case: CaseConfig,
                 time_shift_rng=shift_rng)
         agg = {"loss": 0.0, "grad_norm": 0.0, "param_norm": 0.0}
         nb = 0
+        last_stats = None
         for src, tgt, _, ib in batch_iterator(
                 [train_windows.src, train_windows.tgt,
                  train_windows.tgt_original,
@@ -254,6 +258,7 @@ def train(case: CaseConfig,
             for k in agg:
                 agg[k] += float(stats[k])
             nb += 1
+            last_stats = stats
         if nb == 0:
             raise ValueError(
                 f"train split has fewer than one batch of {batch_size} "
@@ -264,6 +269,11 @@ def train(case: CaseConfig,
         tracker.record_error("train", epoch, {
             "Loss": train_loss, "Grad_Norm": agg["grad_norm"] / nb,
             "Param_Norm": agg["param_norm"] / nb})
+        if last_stats is not None and "tensors" in last_stats:
+            # Per-tensor observability (TrainConfig.log_per_tensor): one
+            # norm per grad/param tensor from the epoch's last batch.
+            tracker.record_error("tensors", epoch, {
+                k: float(v) for k, v in last_stats["tensors"].items()})
 
         if epoch % tcfg.validation_interval == 0 or epoch == n_epochs:
             val_loss, vb = 0.0, 0

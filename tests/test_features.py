@@ -467,3 +467,52 @@ def test_remat_gradients_match():
     g2 = jax.grad(loss(cfg_remat))(params)
     for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_per_tensor_observability_step():
+    """TrainConfig.log_per_tensor (the wandb.watch per-tensor equivalent,
+    reference utils/train_utils.py:75-76): stats["tensors"] carries one L2
+    norm per gradient tensor and per parameter tensor, named by tree path,
+    and the parameter norms match an eager per-leaf computation."""
+    from sea_tpu.models.temporal import init_temporal
+    from sea_tpu.train import metrics as M
+    from sea_tpu.train.optim import make_optimizer
+    from sea_tpu.train.train_temporal import make_train_step
+    from sea_tpu.configs.base import TrainConfig
+
+    # Path naming + exact values on a hand-built tree.
+    tree = {"a": {"w": jnp.arange(3.0)}, "b": [jnp.full((2, 2), 2.0)]}
+    norms = M.per_tensor_norms(tree, "G/")
+    assert set(norms) == {"G/a/w", "G/b/0"}
+    np.testing.assert_allclose(float(norms["G/a/w"]), np.sqrt(5.0),
+                               rtol=1e-6)
+    np.testing.assert_allclose(float(norms["G/b/0"]), 4.0, rtol=1e-6)
+
+    cfg = TemporalModelConfig(num_layers=1, embed_dim=16, n_heads=2,
+                              block_size=32, scale_ratio=2, num_fields=2,
+                              down_proj=2, dropout=0.0, exchange_mode="sea",
+                              ib_scale_mode="mlp", ib_addition_mode="add",
+                              ln_type="adaln")
+    params = init_temporal(jax.random.PRNGKey(0), cfg)
+    snapshot = jax.tree.map(np.asarray, params)
+    n_leaves = len(jax.tree.leaves(params))
+    tx = make_optimizer(TrainConfig(learning_rate=3e-3))
+    opt = tx.init(params)
+    step = make_train_step(cfg, tx, per_tensor=True)
+    key = jax.random.PRNGKey(1)
+    src = jax.random.normal(key, (2, 6, 2, 16))
+    ib = jax.random.normal(jax.random.fold_in(key, 1), (2, 6, 1))
+    _, _, stats = step(params, opt, src, src * 0.5, ib,
+                       jax.random.PRNGKey(2))
+    tensors = stats["tensors"]
+    assert len(tensors) == 2 * n_leaves
+    assert all(np.isfinite(float(v)) for v in tensors.values())
+    # Param norms are the PRE-update params' norms, leaf by leaf.
+    expected = M.per_tensor_norms(snapshot, "Param_Norm/")
+    for k, v in expected.items():
+        np.testing.assert_allclose(float(tensors[k]), float(v), rtol=1e-5)
+    # Grad norms compose to the logged global norm.
+    gsq = sum(float(v) ** 2 for k, v in tensors.items()
+              if k.startswith("Grad_Norm/"))
+    np.testing.assert_allclose(np.sqrt(gsq), float(stats["grad_norm"]),
+                               rtol=1e-4)

@@ -231,3 +231,25 @@ def test_sharded_resume_continues_training(tmp_path):
                                 init_opt_state=ropt)
     assert all(np.isfinite(np.asarray(x)).all()
                for x in jax.tree.leaves(params2))
+
+
+def test_per_tensor_observability_driver(tmp_path, synth):
+    """log_per_tensor=True flows through the spatial driver into the CSV
+    tracker as a "tensors" phase with Grad_Norm/<path> + Param_Norm/<path>
+    rows (the wandb.watch substitute on the product surface)."""
+    import dataclasses
+    from sea_tpu.train.tracking import CSVErrorTracker
+    from sea_tpu.train.train_spatial import train as train_spatial
+
+    case = tiny_case(tmp_path)
+    case = case.replace(spatial_train=dataclasses.replace(
+        case.spatial_train, log_per_tensor=True))
+    tracker = CSVErrorTracker(str(tmp_path), "pt")
+    train_spatial(case, tracker, data=synth, epochs=1)
+    rows = [r.split(",") for r in
+            open(os.path.join(tmp_path, "pt_metrics.csv")).read()
+            .strip().splitlines()[1:]]
+    tensor_rows = [r for r in rows if r[0] == "tensors"]
+    assert any(r[2].startswith("Grad_Norm/") for r in tensor_rows)
+    assert any(r[2].startswith("Param_Norm/") for r in tensor_rows)
+    assert all(np.isfinite(float(r[3])) for r in tensor_rows)

@@ -46,9 +46,20 @@ def main():
     ap.add_argument("--fresh", action="store_true",
                     help="ignore an existing checkpoint (restart)")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--lr", type=float, default=None,
+                    help="override the stage's learning rate (late-phase "
+                         "fine-tune chunks, e.g. 3e-5 once val saturates)")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (the session env rewrites "
                          "JAX_PLATFORMS, so only jax.config sticks)")
+    ap.add_argument("--split", choices=["test", "val"], default="test",
+                    help="eval stage only: which held-out split to roll "
+                         "out. Select checkpoints on --split val, report "
+                         "--split test (never select on test)")
+    ap.add_argument("--model_path", default=None,
+                    help="eval stage only: explicit checkpoint to "
+                         "evaluate (defaults to the save-dir checkpoint "
+                         "family)")
     args = ap.parse_args()
 
     import jax
@@ -67,6 +78,12 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     case = build_case(args.save_dir)
+    if args.lr is not None:
+        case = case.replace(
+            spatial_train=dataclasses.replace(case.spatial_train,
+                                              learning_rate=args.lr),
+            temporal_train=dataclasses.replace(case.temporal_train,
+                                               learning_rate=args.lr))
     data = cylinder_like(tr=TR, T=T, n_nodes=NODES,
                          seed=case.spatial_split.random_seed)
 
@@ -106,23 +123,26 @@ def main():
                   f"(opt state: {init_opt is not None})")
         train(case, data=data, epochs=args.epochs, init_params=init_params,
               init_opt_state=init_opt, seed=args.seed)
-    else:  # eval: rollout on the held-out TEST split
+    else:  # eval: rollout on a held-out split (test by default)
         from sea_tpu.models.temporal import init_temporal
         from sea_tpu.train.evaluate import full_autoregressive_evaluation
         from sea_tpu.train.train_temporal import process_data
         td = process_data(case, data=data)
         template = init_temporal(jax.random.PRNGKey(0), case.temporal)
-        # Prefer the best-rollout checkpoint family when present.
-        ck = checkpoint_path(args.save_dir, "temporal_Checkpoint",
-                             case.run.case_name, case.run.run_name)
-        if not os.path.exists(ck):
-            ck = checkpoint_path(args.save_dir, "temporal",
+        ck = args.model_path
+        if ck is None:
+            # Prefer the best-rollout checkpoint family when present.
+            ck = checkpoint_path(args.save_dir, "temporal_Checkpoint",
                                  case.run.case_name, case.run.run_name)
+            if not os.path.exists(ck):
+                ck = checkpoint_path(args.save_dir, "temporal",
+                                     case.run.case_name, case.run.run_name)
         params = load_params(ck, template)
-        print(f"evaluating {ck} on the test split")
+        windows = td.val if args.split == "val" else td.test
+        print(f"evaluating {ck} on the {args.split} split")
         res = full_autoregressive_evaluation(
-            params, case, td.test, td.latent_service, td.mesh_processor,
-            epoch=0, save_artifacts=True)
+            params, case, windows, td.latent_service, td.mesh_processor,
+            epoch=0, save_artifacts=(args.split == "test"))
         print(json.dumps({
             "encoded_rel_mse": round(res["encoded_rel_mse"], 6),
             "decoded_rel_mse": round(res["decoded_rel_mse"], 6)}))
