@@ -152,6 +152,7 @@ def main():
     mp_int4, _ = bench_rollout(mp_cfg, 250, dtype="int4", key_base=6)
     cyl_bf16, _ = bench_rollout(cyl_cfg, 399, dtype="bf16", key_base=3)
     cyl_f32, _ = bench_rollout(cyl_cfg, 399, dtype="f32", key_base=4)
+    cyl_int4, _ = bench_rollout(cyl_cfg, 399, dtype="int4", key_base=7)
 
     # Roofline: at B=1 every rollout step streams the full weight set from
     # HBM (activations/KV cache are small next to E=2048 matrices) — the
@@ -181,6 +182,11 @@ def main():
         "cylinder_399step_bf16w_vs_baseline": ratio(cyl_bf16, cyl_ref),
         "cylinder_399step_f32": round(cyl_f32, 3),
         "cylinder_399step_f32_vs_baseline": ratio(cyl_f32, cyl_ref),
+        # Serving-mode int4 for the cylinder preset (same engine + bf16 KV
+        # caches; drift bound below was measured on TRAINED cylinder demo
+        # weights, so it covers this case directly).
+        "cylinder_399step_int4w": round(cyl_int4, 3),
+        "cylinder_399step_int4w_vs_baseline": ratio(cyl_int4, cyl_ref),
         "bf16w_drift_on_trained_weights": BF16_DRIFT,
         "multiphase_bf16w_weight_stream_gbps": round(mp_gbps, 1),
         "multiphase_bf16w_hbm_frac_of_peak": round(mp_gbps / hbm_peak, 3),

@@ -46,6 +46,42 @@ def per_tensor_norms(tree, prefix: str = ""):
             for path, leaf in flat}
 
 
+@jax.jit
+def _tree_add(a, b):
+    return jax.tree.map(jnp.add, a, b)
+
+
+class StatsAccumulator:
+    """Accumulates per-batch scalar stats ON DEVICE, one host readback per
+    epoch.
+
+    The train loops used to do ``agg[k] += float(stats[k])`` per batch —
+    each ``float()`` is a device->host round-trip that FENCES the loop, so
+    on a remote/tunneled TPU backend (~20 ms RTT each) a 6-key stats dict
+    cost more wall-clock than the train step itself and, worse, broke the
+    async-dispatch pipeline (the host can't stage batch N+1 while blocked
+    reading batch N's loss). Summing on device keeps the loop fully async;
+    ``means()`` is the single per-epoch fence. The nested "tensors" entry
+    (log_per_tensor) is excluded — it is read back separately, and only on
+    logging epochs."""
+
+    def __init__(self):
+        self._agg = None
+        self.count = 0
+
+    def add(self, stats):
+        scal = ({k: v for k, v in stats.items() if k != "tensors"}
+                if isinstance(stats, dict) else {"loss": stats})
+        self._agg = (scal if self._agg is None
+                     else _tree_add(self._agg, scal))
+        self.count += 1
+
+    def means(self) -> dict:
+        if self.count == 0:
+            return {}
+        return {k: float(v) / self.count for k, v in self._agg.items()}
+
+
 def mse(pred, truth):
     return jnp.mean((pred - truth) ** 2)
 

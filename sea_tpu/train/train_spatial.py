@@ -213,9 +213,9 @@ def train(case: CaseConfig,
     start = time.time()
 
     for epoch in range(1, n_epochs + 1):
-        agg = {"loss": 0.0, "recon_loss": 0.0, "kl_loss": 0.0, "r2": 0.0,
-               "grad_norm": 0.0, "param_norm": 0.0}
-        nb = 0
+        # On-device stat accumulation: the loop stays fully async (no
+        # per-batch device->host fence); one readback per epoch.
+        acc = M.StatsAccumulator()
         last_stats = None
         for (batch,) in batch_iterator([sd.train], batch_size,
                                        shuffle=True,
@@ -227,24 +227,23 @@ def train(case: CaseConfig,
             params, opt_state, stats = train_step(
                 params, opt_state, batch, step_key,
                 jnp.asarray(iteration))
-            for k in agg:
-                agg[k] += float(stats[k])
-            nb += 1
+            acc.add(stats)
             iteration += 1
             last_stats = stats
-        if nb == 0:
+        if acc.count == 0:
             raise ValueError(
                 f"train split has fewer than one batch of {batch_size} "
                 f"snapshots" + (" (batch was rounded up for the device "
                                 "mesh; use a smaller --mesh data axis)"
                                 if mesh is not None else ""))
-        train_metrics = {"Loss": agg["loss"] / nb,
-                         "Recon_Loss": agg["recon_loss"] / nb,
-                         "R2": agg["r2"] / nb,
-                         "Grad_Norm": agg["grad_norm"] / nb,
-                         "Param_Norm": agg["param_norm"] / nb}
+        agg = acc.means()
+        train_metrics = {"Loss": agg["loss"],
+                         "Recon_Loss": agg["recon_loss"],
+                         "R2": agg["r2"],
+                         "Grad_Norm": agg["grad_norm"],
+                         "Param_Norm": agg["param_norm"]}
         if cfg.variational:
-            train_metrics["KL_Loss"] = agg["kl_loss"] / nb
+            train_metrics["KL_Loss"] = agg["kl_loss"]
         tracker.record_error("train", epoch, train_metrics)
         if last_stats is not None and "tensors" in last_stats:
             # Per-tensor observability (TrainConfig.log_per_tensor): one
@@ -253,22 +252,18 @@ def train(case: CaseConfig,
                 k: float(v) for k, v in last_stats["tensors"].items()})
 
         if epoch % tcfg.validation_interval == 0 or epoch == n_epochs:
-            vagg = {"loss": 0.0, "recon_loss": 0.0, "kl_loss": 0.0,
-                    "r2": 0.0}
-            vb = 0
+            vacc = M.StatsAccumulator()
             for (batch,), n_valid in padded_batch_iterator(
                     [sd.val], tcfg.batch_size):
-                stats = eval_step(params, jnp.asarray(batch),
-                                  jnp.asarray(n_valid),
-                                  jnp.asarray(iteration))
-                for k in vagg:
-                    vagg[k] += float(stats[k])
-                vb += 1
-            val_metrics = {"Loss": vagg["loss"] / vb,
-                           "Recon_Loss": vagg["recon_loss"] / vb,
-                           "R2": vagg["r2"] / vb}
+                vacc.add(eval_step(params, jnp.asarray(batch),
+                                   jnp.asarray(n_valid),
+                                   jnp.asarray(iteration)))
+            vagg = vacc.means()
+            val_metrics = {"Loss": vagg["loss"],
+                           "Recon_Loss": vagg["recon_loss"],
+                           "R2": vagg["r2"]}
             if cfg.variational:
-                val_metrics["KL_Loss"] = vagg["kl_loss"] / vb
+                val_metrics["KL_Loss"] = vagg["kl_loss"]
             tracker.record_error("val", epoch, val_metrics)
             print(f"Epoch {epoch}/{n_epochs} train Loss "
                   f"{train_metrics['Loss']:.8f} R2 {train_metrics['R2']:.6f}"

@@ -238,8 +238,9 @@ def train(case: CaseConfig,
             train_windows = make_temporal_windows(
                 *td.train_raw, tcfg.dataset_src_len, tcfg.dataset_overlap,
                 time_shift_rng=shift_rng)
-        agg = {"loss": 0.0, "grad_norm": 0.0, "param_norm": 0.0}
-        nb = 0
+        # On-device stat accumulation: the loop stays fully async (no
+        # per-batch device->host fence); one readback per epoch.
+        acc = M.StatsAccumulator()
         last_stats = None
         for src, tgt, _, ib in batch_iterator(
                 [train_windows.src, train_windows.tgt,
@@ -255,20 +256,19 @@ def train(case: CaseConfig,
                                 jnp.asarray(ib))
             params, opt_state, stats = train_step(
                 params, opt_state, src, tgt, ib, step_key)
-            for k in agg:
-                agg[k] += float(stats[k])
-            nb += 1
+            acc.add(stats)
             last_stats = stats
-        if nb == 0:
+        if acc.count == 0:
             raise ValueError(
                 f"train split has fewer than one batch of {batch_size} "
                 f"windows" + (" (batch was rounded up for the device mesh; "
                               "use a smaller --mesh data axis or more data)"
                               if mesh is not None else ""))
-        train_loss = agg["loss"] / nb
+        agg = acc.means()
+        train_loss = agg["loss"]
         tracker.record_error("train", epoch, {
-            "Loss": train_loss, "Grad_Norm": agg["grad_norm"] / nb,
-            "Param_Norm": agg["param_norm"] / nb})
+            "Loss": train_loss, "Grad_Norm": agg["grad_norm"],
+            "Param_Norm": agg["param_norm"]})
         if last_stats is not None and "tensors" in last_stats:
             # Per-tensor observability (TrainConfig.log_per_tensor): one
             # norm per grad/param tensor from the epoch's last batch.
@@ -276,16 +276,14 @@ def train(case: CaseConfig,
                 k: float(v) for k, v in last_stats["tensors"].items()})
 
         if epoch % tcfg.validation_interval == 0 or epoch == n_epochs:
-            val_loss, vb = 0.0, 0
+            vacc = M.StatsAccumulator()
             for (src, tgt, ib), n_valid in padded_batch_iterator(
                     [td.val.src, td.val.tgt, td.val.ib],
                     tcfg.eval_batch_size):
-                val_loss += float(eval_step(params, jnp.asarray(src),
-                                            jnp.asarray(tgt),
-                                            jnp.asarray(ib),
-                                            jnp.asarray(n_valid)))
-                vb += 1
-            val_loss /= max(vb, 1)
+                vacc.add(eval_step(params, jnp.asarray(src),
+                                   jnp.asarray(tgt), jnp.asarray(ib),
+                                   jnp.asarray(n_valid)))
+            val_loss = vacc.means().get("loss", 0.0)
             val_metrics = {"Loss": val_loss}
 
             # Full autoregressive eval cadence (train_temporal.py:295-320).

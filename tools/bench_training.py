@@ -35,7 +35,7 @@ V5E_HBM_BPS = 819e9
 
 
 def build(case_name, impl, dtype, batch=None, log_norms=True,
-          mu_dtype="float32"):
+          mu_dtype="float32", remat=False):
     import dataclasses
     from sea_tpu.configs.base import TrainConfig
     from sea_tpu.train.optim import make_optimizer
@@ -50,6 +50,8 @@ def build(case_name, impl, dtype, batch=None, log_norms=True,
     if batch:
         B = batch
     cfg = get_case().temporal
+    if remat:
+        cfg = dataclasses.replace(cfg, remat=True)
     tx = make_optimizer(dataclasses.replace(
         TrainConfig(learning_rate=8e-5), adam_mu_dtype=mu_dtype))
     policy = {"f32": "float32", "bf16": "bfloat16",
@@ -76,6 +78,11 @@ def main():
     ap.add_argument("--mu", choices=["f32", "bf16"], default="f32",
                     help="AdamW first-moment dtype "
                          "(TrainConfig.adam_mu_dtype)")
+    ap.add_argument("--remat", action="store_true",
+                    help="rematerialize the temporal blocks in the bwd "
+                         "pass (TemporalModelConfig.remat): trades MXU "
+                         "recompute for activation HBM traffic — the "
+                         "dominant term at B>=8")
     args = ap.parse_args()
 
     import sea_tpu.ops.flash_attention as _fa
@@ -89,7 +96,7 @@ def main():
     cfg, step, tx, B, T = build(args.case, args.impl, args.dtype,
                                 batch=args.batch,
                                 log_norms=not args.no_norms,
-                                mu_dtype=mu_dtype)
+                                mu_dtype=mu_dtype, remat=args.remat)
     params = init_temporal(jax.random.PRNGKey(0), cfg)
     opt_state = tx.init(params)
 
@@ -114,7 +121,10 @@ def main():
     # still the auto one).
     try:
         flops, nbytes = cost_of(step)
-        if args.impl == "auto":
+        if args.impl == "auto" or args.remat:
+            # MFU uses MODEL flops: a forced-XLA, remat-off compile of the
+            # same math (Pallas internals are opaque; remat would count
+            # the recompute). The timed step's bytes are kept.
             _fa.flash_supported = lambda *a, **k: False
             try:
                 _, xla_step, _, _, _ = build(args.case, "xla", args.dtype,
@@ -147,6 +157,8 @@ def main():
         "metric": f"{args.case}_temporal_train_step",
         "impl": args.impl,
         "dtype": args.dtype,
+        "mu": args.mu,
+        "remat": args.remat,
         "B": B, "T": T,
         "ms_per_step": round(dt * 1000, 2),
         "tokens_per_sec": round(tokens / dt),
