@@ -272,3 +272,31 @@ def test_plot_field_variants(tmp_path):
     plot_all_fields_3d(data, x, y, z, 1, filename=p4)
     for p in (p1, p2, p3, p4):
         assert os.path.getsize(p) > 0
+
+
+def test_stats_accumulator_matches_host_sums():
+    """StatsAccumulator (on-device epoch aggregation) must reproduce the
+    old per-batch ``float()`` averaging exactly, skip the nested
+    per-tensor dict, and accept bare-scalar eval losses."""
+    from sea_tpu.train.metrics import StatsAccumulator
+    rng = np.random.RandomState(0)
+    batches = [{"loss": jnp.float32(rng.rand()),
+                "grad_norm": jnp.float32(rng.rand()),
+                "tensors": {"w": jnp.float32(rng.rand())}}
+               for _ in range(5)]
+    acc = StatsAccumulator()
+    for b in batches:
+        acc.add(b)
+    m = acc.means()
+    assert set(m) == {"loss", "grad_norm"}
+    np.testing.assert_allclose(
+        m["loss"], np.mean([float(b["loss"]) for b in batches]), rtol=1e-6)
+    np.testing.assert_allclose(
+        m["grad_norm"],
+        np.mean([float(b["grad_norm"]) for b in batches]), rtol=1e-6)
+
+    bare = StatsAccumulator()
+    for v in (jnp.float32(1.0), jnp.float32(3.0)):
+        bare.add(v)
+    assert bare.means() == {"loss": 2.0}
+    assert StatsAccumulator().means() == {}
