@@ -162,10 +162,7 @@ def main(argv=None):
                                        init_opt_state=init_opt,
                                        precomputed=precomputed, mesh=mesh)
             if case.spatial_train.final_save:
-                from sea_tpu.utils.checkpoint import save_checkpoint
-                save_checkpoint(case.run.save_dir, "final_model_encoder",
-                                case.run.case_name, case.run.run_name,
-                                params)
+                _final_save(case, "final_model_encoder", params)
         else:  # test
             from sea_tpu.train.evaluate import test_encoder_decoder
             from sea_tpu.train.train_spatial import process_data
@@ -203,10 +200,7 @@ def main(argv=None):
                                         init_opt_state=init_opt,
                                         mesh=mesh, seq_mesh=seq_mesh)
             if case.temporal_train.final_save:
-                from sea_tpu.utils.checkpoint import save_checkpoint
-                save_checkpoint(case.run.save_dir, "final_model_temporal",
-                                case.run.case_name, case.run.run_name,
-                                params)
+                _final_save(case, "final_model_temporal", params)
         else:  # test
             import jax
             from sea_tpu.models.temporal import init_temporal
@@ -246,7 +240,8 @@ def main(argv=None):
             import jax.numpy as jnp
             cache_dtype = (jnp.bfloat16 if args.precision == "int4"
                            else jnp.float32)
-            if tcfg.ib_addition_mode != "attention" and tcfg.src_len == 0:
+            from sea_tpu.rollout.engine import is_scan_incremental
+            if is_scan_incremental(tcfg):
                 # Serving path: rollout+decode+unpatch+metrics as one
                 # compiled on-device program (rollout/e2e.py).
                 results = fused_autoregressive_evaluation(
@@ -256,8 +251,8 @@ def main(argv=None):
             else:  # staged fallback for non-scan-incremental configs
                 results = full_autoregressive_evaluation(
                     params, case, td.test, td.latent_service,
-                    td.mesh_processor, epoch=0, plot_traj=True,
-                    cache_dtype=cache_dtype)
+                    td.mesh_processor, spatial_params=spatial_params,
+                    epoch=0, plot_traj=True, cache_dtype=cache_dtype)
             print("Test Results:")
             for key in ("encoded_rel_mse", "decoded_rel_mse"):
                 print(f"{key}: {results[key]}")
@@ -274,6 +269,13 @@ def _resolve_meshes(parser, args):
     if args.mode != "train":
         return None, None
     if args.seq_parallel:
+        if args.mesh.strip().lower() not in ("auto", "none"):
+            # 'auto' is the flag default, so only an EXPLICIT DxM mesh
+            # conflicts — erroring beats silently ignoring the request.
+            parser.error(
+                f"--seq_parallel and --mesh {args.mesh} are mutually "
+                "exclusive: sequence parallelism shards the time axis "
+                "over ALL requested devices (ring attention)")
         from sea_tpu.parallel.mesh import make_seq_mesh
         return None, make_seq_mesh(args.seq_parallel)
     spec = args.mesh.strip().lower()
@@ -294,6 +296,19 @@ def _resolve_meshes(parser, args):
     return make_mesh(n_data=int(parts[0]), n_model=int(parts[1])), None
 
 
+def _final_save(case, kind: str, params) -> None:
+    """Multi-host-safe final_save: orbax (collective, every process
+    persists its shards) on a pod; npz from process 0 otherwise — same
+    discipline as the drivers' best-checkpoint saves."""
+    from sea_tpu.parallel.multihost import is_primary
+    from sea_tpu.utils.checkpoint import (multihost_checkpointing,
+                                          save_checkpoint)
+    if is_primary() or multihost_checkpointing():
+        save_checkpoint(case.run.save_dir, kind, case.run.case_name,
+                        case.run.run_name, params,
+                        use_orbax=multihost_checkpointing())
+
+
 def _load_train_checkpoint(path: str, template, cfg, train_cfg, *,
                            kind: str):
     """(params, opt_state | None) for --model_path resume.
@@ -304,11 +319,18 @@ def _load_train_checkpoint(path: str, template, cfg, train_cfg, *,
     optimizer state and resume fresh."""
     if path.endswith(".pt"):
         return _load_any_checkpoint(path, template, cfg, kind=kind), None
+    import jax
+    import numpy as np
     from sea_tpu.train.optim import make_optimizer
     from sea_tpu.utils.checkpoint import load_full_checkpoint
     tx = make_optimizer(train_cfg)
+    # Structure-only template: eval_shape traces tx.init without
+    # allocating the ~2x-model-size moment buffers on device (the
+    # training path builds the real opt state from the restored leaves).
+    opt_template = jax.tree.map(lambda s: np.zeros(s.shape, s.dtype),
+                                jax.eval_shape(tx.init, template))
     params, opt_state, _ = load_full_checkpoint(path, template,
-                                                tx.init(template))
+                                                opt_template)
     if opt_state is not None:
         print("Restored optimizer state (resume continues Adam moments)")
     return params, opt_state

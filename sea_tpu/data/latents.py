@@ -66,6 +66,17 @@ class LatentService:
         """[B, P, G, D] -> fields [B, P, F, C] (data_processors.py:354-363)."""
         return self._batched(self._decode, latents)
 
+    def with_params(self, params) -> "LatentService":
+        """Copy of this service running different weights (e.g. the CLI's
+        reduced-precision serving casts — ops.layers.linear consumes the
+        quantized w_q/w_s structure directly). Shares the jitted
+        encode/decode closures, so no recompilation beyond the new
+        parameter dtypes."""
+        import copy
+        svc = copy.copy(self)
+        svc.params = params
+        return svc
+
 
 def transform_latents_to_temporal(latents: np.ndarray, tr: int, T: int,
                                   n_patches: int, num_groups: int

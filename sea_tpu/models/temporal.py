@@ -358,9 +358,12 @@ def temporal_forward(params, cfg: TemporalModelConfig, x, ib, *, rng=None,
     runs EVERY attention over T (self, SEA exchange, pool, ib) as ring
     attention (parallel/ring_attention.py): the sequence is sharded across
     devices and k/v shards rotate over ICI, so T can outgrow a single
-    chip's memory. Requires T divisible by the ring size and dropout=0.0
-    for training. Everything between attentions is elementwise over T, so
-    GSPMD keeps those sharded with zero extra collectives."""
+    chip's memory. Requires T divisible by the ring size. Attention
+    dropout runs in-ring (global-position counter hash — the mask is
+    identical at any ring size), so the shipped recipes train
+    sequence-parallel unmodified. Everything between attentions is
+    elementwise over T, so GSPMD keeps those sharded with zero extra
+    collectives."""
     G = cfg.num_fields
     assert x.shape[2] == G, (x.shape, G)
     attn_kw = ({"impl": "ring", "mesh": seq_mesh, "seq_axis": seq_axis}

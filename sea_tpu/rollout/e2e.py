@@ -47,7 +47,8 @@ def make_e2e_rollout_eval(tcfg: TemporalModelConfig,
     inverse scaling is folded into the compiled program as per-field
     affine constants.
     """
-    if tcfg.ib_addition_mode == "attention" or tcfg.src_len != 0:
+    from sea_tpu.rollout.engine import is_scan_incremental
+    if not is_scan_incremental(tcfg):
         raise ValueError(
             "make_e2e_rollout_eval requires a scan-incremental config "
             "(no attention ib-conditioning, src_len == 0; every exchange "

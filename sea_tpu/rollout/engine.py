@@ -118,24 +118,34 @@ def rollout_prefix_bucketed(params, cfg: TemporalModelConfig, x0, ib, *,
     return buf[:, 1:]
 
 
+def is_scan_incremental(cfg: TemporalModelConfig) -> bool:
+    """True when the model is incrementally computable, i.e. the scan+KV
+    engine (and the fused e2e serving program) applies. All four exchange
+    modes (sea / pool / addition / simple) are incremental — the pool
+    token is per-token (reference temporal.py:244-251) and its
+    cross-attention causal. Not incrementally computable:
+    - attention-mode ib conditioning (unmasked attention over the ib
+      stream),
+    - src_len != 0 (the tril diagonal offset lets token p attend
+      p+1..p+src_len, so the model is NOT causal and earlier tokens'
+      states change as the prefix grows — prefix recompute is the
+      defining semantics there; both shipped configs use src_len=0).
+
+    The single source of truth for this predicate — the CLI's serving
+    dispatch and rollout/e2e.py's guard both call it."""
+    return cfg.ib_addition_mode != "attention" and cfg.src_len == 0
+
+
 def rollout(params, cfg: TemporalModelConfig, x0, ib, *,
             cache_dtype=jnp.float32):
-    """Dispatch: scan engine when the model is incrementally computable,
-    prefix recompute otherwise. All four exchange modes (sea / pool /
-    addition / simple) are incremental — the pool token is per-token
-    (reference temporal.py:244-251) and its cross-attention causal. Not
-    incrementally computable:
-    - attention-mode ib conditioning (unmasked attention over the ib stream),
-    - src_len != 0 (the tril diagonal offset lets token p attend p+1..p+src_len,
-      so the model is NOT causal and earlier tokens' states change as the
-      prefix grows — prefix recompute is the defining semantics there; both
-      shipped configs use src_len=0).
+    """Dispatch: scan engine when the model is incrementally computable
+    (is_scan_incremental), prefix recompute otherwise.
 
     cache_dtype: KV-cache storage dtype (scan engine only). bf16 caches
     are the int4-serving default — they buy +8.6% there, where the
     weight stream no longer dominates, and LOSE 3-5% for bf16w/int8w
     weights (measured, BASELINE.md), so f32 stays the default.
     """
-    if cfg.ib_addition_mode == "attention" or cfg.src_len != 0:
+    if not is_scan_incremental(cfg):
         return rollout_prefix_recompute(params, cfg, x0, ib)
     return rollout_jit(params, cfg, x0, ib, cache_dtype)

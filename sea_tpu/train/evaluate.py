@@ -48,7 +48,8 @@ def autoregressive_validation(params, case: CaseConfig, windows, *,
 def full_autoregressive_evaluation(params, case: CaseConfig, windows,
                                    latent_service: LatentService,
                                    mesh_processor: MeshProcessor, *,
-                                   epoch: int = 0, plot_traj: bool = True,
+                                   spatial_params=None, epoch: int = 0,
+                                   plot_traj: bool = True,
                                    save_artifacts: bool = True,
                                    cache_dtype=jnp.float32
                                    ) -> Dict[str, Any]:
@@ -56,8 +57,15 @@ def full_autoregressive_evaluation(params, case: CaseConfig, windows,
 
     Returns {encoded_rel_mse, decoded_rel_mse, decoded_rel_mse_per_time
     [T, F]} averaged over the set.
+
+    ``spatial_params`` overrides the latent service's decoder weights
+    (reduced-precision serving casts), same contract as
+    fused_autoregressive_evaluation — the CLI's staged fallback relies
+    on this so ``--precision`` applies to the decode stage too.
     """
     tcfg = case.temporal
+    if spatial_params is not None:
+        latent_service = latent_service.with_params(spatial_params)
     src = jnp.asarray(windows.src)
     tgt = np.asarray(windows.tgt)
     ib = jnp.asarray(windows.ib)

@@ -171,8 +171,6 @@ def train(case: CaseConfig,
     # overrides the config), matching total_steps semantics at
     # train_encoder.py:171.
     n_epochs = epochs if epochs is not None else tcfg.epoch_num
-    total_steps = max(1, (n_epochs * len(sd.train))
-                      // max(1, tcfg.batch_size))
     place_batch = None
     batch_size = tcfg.batch_size
     if mesh is not None:
@@ -181,6 +179,12 @@ def train(case: CaseConfig,
         if batch_size != tcfg.batch_size:
             print(f"note: batch size {tcfg.batch_size} -> {batch_size} "
                   f"(next multiple of the mesh data axis {n_data})")
+    # Anneal horizon counts the loop's ACTUAL optimizer steps — the
+    # mesh-rounded batch size and drop_remainder batching both shrink
+    # steps/epoch, and a horizon computed from the configured batch size
+    # would leave the KL weight short of kl_weight_max at the end.
+    total_steps = max(1, n_epochs * max(1, len(sd.train) // batch_size))
+    if mesh is not None:
         from sea_tpu.parallel.train_step import \
             make_sharded_spatial_train_step
         train_step, params, opt_state, place_batch = \

@@ -46,7 +46,15 @@ def _flatten(tree, prefix=""):
     elif tree is None:
         pass
     else:
-        out[prefix[:-1]] = np.asarray(tree)
+        arr = np.asarray(tree)
+        if arr.dtype.kind == "V":
+            # ml_dtypes leaves (bfloat16 Adam mu with
+            # adam_mu_dtype='bfloat16', fp8/int4 experiments): np.savez
+            # stores them as raw void ('|V2') which np.load cannot cast
+            # back. Widen to float32 — exact for every sub-f32 float —
+            # and let restore_pytree cast to the template dtype.
+            arr = arr.astype(np.float32)
+        out[prefix[:-1]] = arr
     return out
 
 
@@ -100,6 +108,16 @@ def restore_pytree(path: str, template: Any) -> Any:
                 f"but the template expects {want.shape} — the checkpoint "
                 "was saved with a different config/layout (a silent "
                 "reshape would scramble the weights)")
+        if leaf.dtype.kind == "V":
+            # Legacy checkpoint written before extended dtypes were
+            # widened on save: the bytes are the template dtype's
+            # (e.g. '|V2' holding bfloat16) — reinterpret, don't cast.
+            if leaf.dtype.itemsize != want.dtype.itemsize:
+                raise ValueError(
+                    f"checkpoint {path} leaf {key!r} has opaque dtype "
+                    f"{leaf.dtype} that does not match the template's "
+                    f"{want.dtype}")
+            leaf = leaf.view(want.dtype)
         return leaf.astype(want.dtype)
 
     return rebuild(template)
@@ -165,12 +183,14 @@ def load_full_checkpoint(path: str, params_template: Any,
     """
     if _is_orbax_dir(path):
         tree = restore_checkpoint_orbax(path)
-        # Orbax returns plain containers; rebuild optax namedtuples from
-        # the template when given.
+        # Orbax returns plain containers (namedtuples come back as dicts
+        # keyed by FIELD NAME); rebuild optax namedtuples from the
+        # template when given — matching by name, never by traversal
+        # order, so a reordered optax chain cannot silently scramble
+        # mu/nu/count on resume.
         opt = tree.get("opt_state")
         if opt is not None and opt_template is not None:
-            leaves = jax_tree_leaves(opt)
-            opt = jax_tree_unflatten(opt_template, leaves)
+            opt = _rebuild_like(opt_template, opt, where="opt_state")
         elif opt_template is None:
             opt = None
         return tree["params"], opt, tree.get("meta", {})
@@ -187,14 +207,51 @@ def load_full_checkpoint(path: str, params_template: Any,
     return tree["params"], tree.get("opt_state"), meta
 
 
-def jax_tree_leaves(tree):
-    import jax
-    return jax.tree.leaves(tree)
+def _rebuild_like(template, restored, where=""):
+    """Rebuild ``template``'s pytree types from an orbax-restored tree.
 
-
-def jax_tree_unflatten(template, leaves):
-    import jax
-    return jax.tree.unflatten(jax.tree.structure(template), leaves)
+    Namedtuples (optax states) are matched to restored dicts by FIELD
+    NAME; dicts by key; sequences by index — with shape validation at
+    the leaves. Order-based pairing would depend on dict key sort
+    coinciding with namedtuple field order, which is a coincidence, not
+    a contract."""
+    if hasattr(template, "_fields"):  # namedtuple (optax state)
+        if not template._fields:  # e.g. optax.EmptyState — orbax
+            return type(template)()  # restores it as None
+        if isinstance(restored, dict):
+            missing = [f for f in template._fields if f not in restored]
+            if missing:
+                raise KeyError(
+                    f"orbax checkpoint {where!r} missing fields {missing} "
+                    f"of {type(template).__name__}")
+            return type(template)(*[
+                _rebuild_like(getattr(template, f), restored[f],
+                              f"{where}/{f}") for f in template._fields])
+        restored = tuple(restored)  # saved pre-named-keys: by position
+        return type(template)(*[
+            _rebuild_like(t, r, f"{where}/{i}")
+            for i, (t, r) in enumerate(zip(template, restored))])
+    if isinstance(template, dict):
+        return {k: _rebuild_like(v, restored[k], f"{where}/{k}")
+                for k, v in template.items()}
+    if isinstance(template, (list, tuple)):
+        if isinstance(restored, dict):
+            # orbax stores sequences as {'0': ..., '1': ...} in some
+            # versions; index by stringified position.
+            restored = [restored[str(i)] for i in range(len(template))]
+        out = [_rebuild_like(t, r, f"{where}/{i}")
+               for i, (t, r) in enumerate(zip(template, restored))]
+        return out if isinstance(template, list) else tuple(out)
+    if template is None:
+        return None
+    want = np.asarray(template)
+    got = np.asarray(restored) if restored is not None else None
+    if got is None or got.shape != want.shape:
+        raise ValueError(
+            f"orbax checkpoint leaf {where!r} has shape "
+            f"{None if got is None else got.shape} but the template "
+            f"expects {want.shape}")
+    return restored
 
 
 def snapshot_tree(tree):

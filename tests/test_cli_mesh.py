@@ -26,6 +26,10 @@ def test_mesh_flag_parsing_errors(capsys):
         cli.main(["cylinder_flow", "temporal", "test", "--synthetic",
                   "--seq_parallel", "4"])
     assert "--seq_parallel" in capsys.readouterr().err
+    with pytest.raises(SystemExit):
+        cli.main(["cylinder_flow", "temporal", "train", "--synthetic",
+                  "--mesh", "4x2", "--seq_parallel", "4"])
+    assert "mutually exclusive" in capsys.readouterr().err
 
 
 @requires_8

@@ -300,3 +300,80 @@ def test_stats_accumulator_matches_host_sums():
         bare.add(v)
     assert bare.means() == {"loss": 2.0}
     assert StatsAccumulator().means() == {}
+
+
+def test_bf16_mu_checkpoint_roundtrip(tmp_path):
+    """adam_mu_dtype='bfloat16' opt states must survive the npz format:
+    np.savez stores ml_dtypes.bfloat16 as raw void ('|V2'), so leaves are
+    widened to f32 on save and cast back on restore (exact both ways).
+    Legacy checkpoints that DID save '|V2' are rescued by a view."""
+    import io
+
+    import ml_dtypes
+    import optax
+    from sea_tpu.utils.checkpoint import restore_pytree, save_pytree
+    params = {"w": jnp.ones((4, 3))}
+    tx = optax.adamw(1e-3, mu_dtype=jnp.bfloat16)
+    st = tx.init(params)
+    grads = {"w": jnp.full((4, 3), 0.25)}
+    _, st = tx.update(grads, st, params)
+    path = str(tmp_path / "ck.npz")
+    save_pytree(path, {"opt_state": st})
+    r = restore_pytree(path, {"opt_state": st})
+    mu = r["opt_state"][0].mu["w"]
+    assert mu.dtype == ml_dtypes.bfloat16
+    np.testing.assert_array_equal(np.asarray(mu),
+                                  np.asarray(st[0].mu["w"]))
+
+    # Legacy file: raw-void bf16 bytes (pre-fix writer).
+    raw = np.asarray(st[0].mu["w"])  # ml_dtypes.bfloat16 ndarray
+    legacy = str(tmp_path / "legacy.npz")
+    np.savez(legacy, **{"mu/w": raw})
+    got = restore_pytree(legacy, {"mu": {"w": st[0].mu["w"]}})
+    assert got["mu"]["w"].dtype == ml_dtypes.bfloat16
+    np.testing.assert_array_equal(np.asarray(got["mu"]["w"]), raw)
+
+
+def test_orbax_rebuild_matches_by_field_name():
+    """_rebuild_like must pair orbax dicts to optax namedtuples by FIELD
+    NAME, not traversal order, and validate leaf shapes."""
+    import optax
+    import pytest
+    from sea_tpu.utils.checkpoint import _rebuild_like
+    params = {"w": jnp.ones((2, 2))}
+    st = optax.adamw(1e-3).init(params)
+    adam = st[0]
+    restored = {"nu": {"w": np.full((2, 2), 2.0)},
+                "count": np.asarray(7, np.int32),
+                "mu": {"w": np.full((2, 2), 1.0)}}  # scrambled key order
+    rebuilt = _rebuild_like(adam, restored)
+    assert type(rebuilt) is type(adam)
+    assert float(rebuilt.count) == 7
+    assert float(rebuilt.mu["w"][0, 0]) == 1.0
+    assert float(rebuilt.nu["w"][0, 0]) == 2.0
+    with pytest.raises(ValueError, match="shape"):
+        _rebuild_like(adam, {**restored,
+                             "mu": {"w": np.zeros((3, 3))}})
+    with pytest.raises(KeyError, match="missing"):
+        _rebuild_like(adam, {"mu": restored["mu"]})
+
+
+def test_latent_service_with_params_overrides_decode():
+    """with_params (the staged --precision path) must actually change the
+    weights decode_dataset uses."""
+    from sea_tpu.configs.cylinder_flow import get_case
+    from sea_tpu.data.latents import LatentService
+    from sea_tpu.models.spatial import init_spatial
+    case = get_case()
+    cfg = case.spatial.with_n_inp(8)
+    p1 = init_spatial(jax.random.PRNGKey(0), cfg)
+    p2 = init_spatial(jax.random.PRNGKey(1), cfg)
+    svc = LatentService(cfg, p1, batch_size=4)
+    z = np.random.RandomState(0).randn(
+        2, case.mesh.num_patches, cfg.num_groups,
+        cfg.embed_dim).astype(np.float32)
+    d1 = svc.decode_dataset(z)
+    svc2 = svc.with_params(p2)
+    d2 = svc2.decode_dataset(z)
+    assert svc.params is p1  # original untouched
+    assert not np.allclose(d1, d2)
