@@ -241,7 +241,17 @@ def main(argv=None):
             cache_dtype = (jnp.bfloat16 if args.precision == "int4"
                            else jnp.float32)
             from sea_tpu.rollout.engine import is_scan_incremental
-            if is_scan_incremental(tcfg):
+            if mesh is not None and is_scan_incremental(tcfg):
+                # Explicit --mesh DxM: trajectories sharded over 'data',
+                # tensor-parallel params over 'model' (staged pipeline —
+                # the decode stage runs on the host side as usual).
+                print(f"sharded serving: mesh {dict(mesh.shape)}")
+                results = full_autoregressive_evaluation(
+                    params, case, td.test, td.latent_service,
+                    td.mesh_processor, spatial_params=spatial_params,
+                    epoch=0, plot_traj=True, cache_dtype=cache_dtype,
+                    mesh=mesh)
+            elif is_scan_incremental(tcfg):
                 # Serving path: rollout+decode+unpatch+metrics as one
                 # compiled on-device program (rollout/e2e.py).
                 results = fused_autoregressive_evaluation(
@@ -259,17 +269,33 @@ def main(argv=None):
 
 
 def _resolve_meshes(parser, args):
-    """(mesh, seq_mesh) from --mesh / --seq_parallel. Train modes only:
-    eval/rollout run single-device from the CLI (the sharded rollout is a
-    library API, parallel/train_step.make_sharded_rollout).
+    """(mesh, seq_mesh) from --mesh / --seq_parallel.
 
-    'auto' spans every visible device data-parallel when more than one is
-    present — a v5e-8 user gets 8-way DP without flags — and stays on the
-    plain single-device path otherwise."""
+    Train modes: 'auto' spans every visible device data-parallel when
+    more than one is present — a v5e-8 user gets 8-way DP without flags
+    — and stays on the plain single-device path otherwise.
+
+    `temporal test`: an EXPLICIT DxM shards the serving rollout —
+    trajectories over 'data', tensor-parallel params over 'model'
+    (evaluate.full_autoregressive_evaluation(mesh=...)). 'auto' keeps
+    the default single-device FUSED serving program (rollout/e2e.py),
+    which is the faster path when one chip holds the model."""
+    def parse_dxm(spec):
+        parts = spec.split("x")
+        if len(parts) != 2 or not all(p.isdigit() for p in parts):
+            parser.error(f"--mesh must be 'auto', 'none', or DxM "
+                         f"(e.g. 4x2); got {args.mesh!r}")
+        from sea_tpu.parallel.mesh import make_mesh
+        return make_mesh(n_data=int(parts[0]), n_model=int(parts[1]))
+
+    spec = args.mesh.strip().lower()
     if args.mode != "train":
+        if (args.model_type, args.mode) == ("temporal", "test") \
+                and spec not in ("auto", "none"):
+            return parse_dxm(spec), None
         return None, None
     if args.seq_parallel:
-        if args.mesh.strip().lower() not in ("auto", "none"):
+        if spec not in ("auto", "none"):
             # 'auto' is the flag default, so only an EXPLICIT DxM mesh
             # conflicts — erroring beats silently ignoring the request.
             parser.error(
@@ -278,22 +304,17 @@ def _resolve_meshes(parser, args):
                 "over ALL requested devices (ring attention)")
         from sea_tpu.parallel.mesh import make_seq_mesh
         return None, make_seq_mesh(args.seq_parallel)
-    spec = args.mesh.strip().lower()
     if spec == "none":
         return None, None
-    from sea_tpu.parallel.mesh import make_mesh
     if spec == "auto":
         import jax
         n = len(jax.devices())
         if n == 1:
             return None, None
         print(f"auto mesh: data={n} x model=1 over {n} devices")
+        from sea_tpu.parallel.mesh import make_mesh
         return make_mesh(n_data=n, n_model=1), None
-    parts = spec.split("x")
-    if len(parts) != 2 or not all(p.isdigit() for p in parts):
-        parser.error(f"--mesh must be 'auto', 'none', or DxM (e.g. 4x2); "
-                     f"got {args.mesh!r}")
-    return make_mesh(n_data=int(parts[0]), n_model=int(parts[1])), None
+    return parse_dxm(spec), None
 
 
 def _final_save(case, kind: str, params) -> None:

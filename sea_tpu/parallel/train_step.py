@@ -204,13 +204,15 @@ def make_seq_parallel_train_step(mesh: Mesh, cfg: TemporalModelConfig,
     return step, placed_params, placed_opt, place_batch
 
 
-def make_sharded_rollout(mesh: Mesh, cfg: TemporalModelConfig, params):
+def make_sharded_rollout(mesh: Mesh, cfg: TemporalModelConfig, params,
+                         cache_dtype=jnp.float32):
     """Rollout with trajectories sharded over 'data' — each chip rolls out
     its shard of trajectories; eval scales linearly over the mesh.
 
     Only valid for scan-incremental configs (see rollout.engine.rollout);
     other configs must use the prefix-recompute path."""
-    if cfg.ib_addition_mode == "attention" or cfg.src_len != 0:
+    from sea_tpu.rollout.engine import is_scan_incremental
+    if not is_scan_incremental(cfg):
         raise ValueError(
             "make_sharded_rollout requires a scan-incremental config "
             "(no attention ib-conditioning, src_len == 0; every exchange "
@@ -221,7 +223,7 @@ def make_sharded_rollout(mesh: Mesh, cfg: TemporalModelConfig, params):
 
     @jax.jit
     def run(params, x0, ib):
-        return rollout_scan(params, cfg, x0, ib)
+        return rollout_scan(params, cfg, x0, ib, cache_dtype=cache_dtype)
 
     def place_batch(x0, ib):
         return (shard_batch(mesh, jnp.asarray(x0)),

@@ -51,8 +51,8 @@ def full_autoregressive_evaluation(params, case: CaseConfig, windows,
                                    spatial_params=None, epoch: int = 0,
                                    plot_traj: bool = True,
                                    save_artifacts: bool = True,
-                                   cache_dtype=jnp.float32
-                                   ) -> Dict[str, Any]:
+                                   cache_dtype=jnp.float32,
+                                   mesh=None) -> Dict[str, Any]:
     """windows: TemporalWindows (src, tgt, tgt_original, ib).
 
     Returns {encoded_rel_mse, decoded_rel_mse, decoded_rel_mse_per_time
@@ -62,6 +62,13 @@ def full_autoregressive_evaluation(params, case: CaseConfig, windows,
     (reduced-precision serving casts), same contract as
     fused_autoregressive_evaluation — the CLI's staged fallback relies
     on this so ``--precision`` applies to the decode stage too.
+
+    ``mesh``: optional jax.sharding.Mesh — trajectories are sharded over
+    its 'data' axis (each chip rolls out its shard; the trajectory count
+    is padded up to a multiple of the axis and the padding trimmed) and
+    params follow the tensor-parallel specs over 'model'
+    (parallel/train_step.make_sharded_rollout). Scan-incremental configs
+    only; others fall back to the single-device prefix engine.
     """
     tcfg = case.temporal
     if spatial_params is not None:
@@ -71,8 +78,22 @@ def full_autoregressive_evaluation(params, case: CaseConfig, windows,
     ib = jnp.asarray(windows.ib)
     B, T = src.shape[0], src.shape[1]
 
-    preds_dev = rollout(params, tcfg, src[:, 0], ib,
-                        cache_dtype=cache_dtype)  # [B,T,G,E]
+    from sea_tpu.rollout.engine import is_scan_incremental
+    if mesh is not None and is_scan_incremental(tcfg):
+        from sea_tpu.parallel.train_step import make_sharded_rollout
+        run, placed_params, place = make_sharded_rollout(
+            mesh, tcfg, params, cache_dtype=cache_dtype)
+        n_data = mesh.shape["data"]
+        pad = (-B) % n_data
+        x0, ib_p = np.asarray(src[:, 0]), np.asarray(ib)
+        if pad:  # repeat the last trajectory; trimmed below
+            x0 = np.concatenate([x0, np.repeat(x0[-1:], pad, 0)], axis=0)
+            ib_p = np.concatenate([ib_p, np.repeat(ib_p[-1:], pad, 0)],
+                                  axis=0)
+        preds_dev = run(placed_params, *place(x0, ib_p))[:B]
+    else:
+        preds_dev = rollout(params, tcfg, src[:, 0], ib,
+                            cache_dtype=cache_dtype)  # [B,T,G,E]
     encoded_rel_mse = float(jnp.mean(
         M.relative_mse(preds_dev, jnp.asarray(tgt))))
     preds = np.asarray(preds_dev)

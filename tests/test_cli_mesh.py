@@ -107,3 +107,33 @@ def test_cli_fused_serving_with_precision(tmp_path, capsys):
               "--save_dir", save, "--precision", "int4"])
     out = capsys.readouterr().out
     assert "int4 weights" in out and "decoded_rel_mse" in out
+
+
+@requires_8
+@pytest.mark.heavy
+def test_cli_sharded_serving_matches_single_device(tmp_path, capsys):
+    """`temporal test --mesh 4x2` shards the serving rollout
+    (trajectories over 'data', tensor-parallel params over 'model') and
+    reproduces the single-device fused path's metrics. The synthetic
+    test split (2 trajectories) does NOT divide the data axis — the
+    pad-and-trim path is exercised."""
+    import re
+    save = str(tmp_path)
+    cli.main(["cylinder_flow_smoke", "encoder", "train", "--synthetic",
+              "--epochs", "1", "--save_dir", save, "--mesh", "none"])
+    cli.main(["cylinder_flow_smoke", "temporal", "train", "--synthetic",
+              "--epochs", "1", "--save_dir", save, "--mesh", "none"])
+    capsys.readouterr()
+    cli.main(["cylinder_flow_smoke", "temporal", "test", "--synthetic",
+              "--save_dir", save])
+    single = capsys.readouterr().out
+    cli.main(["cylinder_flow_smoke", "temporal", "test", "--synthetic",
+              "--save_dir", save, "--mesh", "4x2"])
+    sharded = capsys.readouterr().out
+    assert "sharded serving" in sharded
+
+    def metric(out, key):
+        return float(re.search(rf"{key}: ([0-9.eE+-]+)", out).group(1))
+    for key in ("encoded_rel_mse", "decoded_rel_mse"):
+        assert abs(metric(single, key) - metric(sharded, key)) \
+            <= 1e-3 * max(1.0, abs(metric(single, key)))
