@@ -189,8 +189,14 @@ class TrainConfig:
     # loss (f32 AdamW master params, f32 loss/softmax) for ~1.7x
     # memory-bandwidth headroom; "bfloat16_mixed" additionally runs bf16
     # activations (every matmul bf16xbf16 on the MXU; softmax / LN stats /
-    # RoPE / loss stay f32) — opt in per case.
-    compute_dtype: str = "float32"  # "float32"|"bfloat16"|"bfloat16_mixed"
+    # RoPE / loss stay f32) — opt in per case. "bfloat16_shadow" is mixed
+    # plus a persistent bf16 weight copy carried in the optimizer state
+    # (train/optim.with_bf16_shadow): removes the per-step f32 master
+    # cast-read and halves gradient HBM traffic (grads emerge bf16) in
+    # the TEMPORAL train steps; spatial steps accept it and run it as
+    # plain mixed (their params are too small for the saving to matter).
+    compute_dtype: str = "float32"
+    # ^ "float32"|"bfloat16"|"bfloat16_mixed"|"bfloat16_shadow"
     # Per-step grad/param global-norm observability (the wandb.watch
     # equivalent). XLA fuses these reductions into the AdamW update
     # passes on the measured configs (profile: the update fusions carry

@@ -41,6 +41,10 @@ def _norm_stats(grads, params, log_norms: bool, per_tensor: bool = False):
     metrics.per_tensor_norms."""
     if not log_norms:
         return {"grad_norm": jnp.zeros(()), "param_norm": jnp.zeros(())}
+    # bf16 grads (compute_dtype='bfloat16_shadow') would accumulate the
+    # squared sum in bf16 — upcast leaf-wise; XLA fuses the cast into the
+    # reduction, so the f32 modes are unchanged and the cast is free.
+    grads = jax.tree.map(lambda g: g.astype(jnp.float32), grads)
     stats = {"grad_norm": optax.global_norm(grads),
              "param_norm": optax.global_norm(params)}
     if per_tensor:
@@ -86,15 +90,23 @@ def make_sharded_temporal_train_step(mesh: Mesh, cfg: TemporalModelConfig,
                                              init_opt_state)
     from sea_tpu.utils.precision import train_cast
     cast_p, cast_x = train_cast(compute_dtype)
+    shadow = compute_dtype == "bfloat16_shadow"
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def step(params, opt_state, src, tgt, ib, rng):
         def loss_fn(p):
             s, i = cast_x(src, ib)
-            out = temporal_forward(cast_p(p), cfg, s, i, rng=rng,
+            out = temporal_forward(p, cfg, s, i, rng=rng,
                                    deterministic=False)
             return M.mse(out.astype(jnp.float32), tgt)
-        loss, grads = jax.value_and_grad(loss_fn)(params)
+        if shadow:
+            # Forward/backward on the persistent bf16 copy in the
+            # optimizer state (train/optim.with_bf16_shadow); the shadow
+            # inherits the params' TP shardings through jit(tx.init).
+            loss, grads = jax.value_and_grad(loss_fn)(opt_state.shadow)
+        else:
+            loss, grads = jax.value_and_grad(
+                lambda p: loss_fn(cast_p(p)))(params)
         updates, opt_state = tx.update(grads, opt_state, params)
         stats = {"loss": loss,
                  **_norm_stats(grads, params, log_norms, per_tensor)}

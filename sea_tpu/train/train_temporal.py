@@ -125,15 +125,24 @@ def make_train_step(cfg: TemporalModelConfig, tx, *,
     from sea_tpu.parallel.train_step import _norm_stats
     from sea_tpu.utils.precision import train_cast
     cast_p, cast_x = train_cast(compute_dtype)
+    shadow = compute_dtype == "bfloat16_shadow"
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def step(params, opt_state, src, tgt, ib, rng):
         def loss_fn(p):
             s, i = cast_x(src, ib)
-            out = temporal_forward(cast_p(p), cfg, s, i, rng=rng,
+            out = temporal_forward(p, cfg, s, i, rng=rng,
                                    deterministic=False)
             return M.mse(out.astype(jnp.float32), tgt)
-        loss, grads = jax.value_and_grad(loss_fn)(params)
+        if shadow:
+            # Differentiate w.r.t. the persistent bf16 copy in the
+            # optimizer state (train/optim.with_bf16_shadow): no per-step
+            # f32 master-weight cast, bf16 gradients (widened in-register
+            # inside the fused AdamW update).
+            loss, grads = jax.value_and_grad(loss_fn)(opt_state.shadow)
+        else:
+            loss, grads = jax.value_and_grad(
+                lambda p: loss_fn(cast_p(p)))(params)
         updates, opt_state = tx.update(grads, opt_state, params)
         stats = {"loss": loss,
                  **_norm_stats(grads, params, log_norms, per_tensor)}

@@ -130,13 +130,20 @@ def train_cast(compute_dtype: str):
         return (lambda p: p), (lambda *xs: xs)
     if compute_dtype == "bfloat16":
         return cast_weights_bf16, (lambda *xs: xs)
-    if compute_dtype == "bfloat16_mixed":
+    if compute_dtype in ("bfloat16_mixed", "bfloat16_shadow"):
+        # "bfloat16_shadow": same casts as mixed, but the temporal train
+        # steps skip cast_params entirely — the forward runs on the
+        # persistent bf16 copy kept in the optimizer state
+        # (train/optim.with_bf16_shadow), so the per-step f32 master
+        # weight read disappears and gradients emerge in bf16.
         def cast_inputs(*xs):
             return tuple(x.astype(jnp.bfloat16) for x in xs)
         return to_bf16, cast_inputs
     raise ValueError(
         f"unknown compute_dtype {compute_dtype!r}; expected 'float32', "
-        "'bfloat16' (weight-only), or 'bfloat16_mixed'")
+        "'bfloat16' (weight-only), 'bfloat16_mixed', or "
+        "'bfloat16_shadow' (mixed + persistent bf16 weight copy in the "
+        "optimizer state)")
 
 
 def cast_weights_bf16(tree, min_size: int = 1 << 16):

@@ -516,3 +516,100 @@ def test_per_tensor_observability_step():
               if k.startswith("Grad_Norm/"))
     np.testing.assert_allclose(np.sqrt(gsq), float(stats["grad_norm"]),
                                rtol=1e-4)
+
+
+def test_bf16_shadow_matches_mixed_training():
+    """compute_dtype='bfloat16_shadow' (persistent bf16 weight copy in the
+    optimizer state, bf16 gradients) must track 'bfloat16_mixed': the two
+    run numerically identical forwards (the shadow IS to_bf16 of the f32
+    masters), so the only divergence is gradient rounding to bf16 — loss
+    decreases and the trajectories stay close. Also pins the invariant
+    shadow == to_bf16(params) after every step."""
+    import dataclasses
+    from sea_tpu.models.temporal import init_temporal
+    from sea_tpu.train.optim import ShadowOptState, make_optimizer
+    from sea_tpu.train.train_temporal import make_train_step
+    from sea_tpu.configs.base import TrainConfig
+    from sea_tpu.utils.precision import to_bf16
+
+    cfg = TemporalModelConfig(num_layers=1, embed_dim=16, n_heads=2,
+                              block_size=32, scale_ratio=2, num_fields=2,
+                              down_proj=2, dropout=0.0, exchange_mode="sea",
+                              ib_scale_mode="mlp", ib_addition_mode="add",
+                              ln_type="adaln")
+    key = jax.random.PRNGKey(1)
+    src = jax.random.normal(key, (2, 6, 2, 16))
+    tgt = src * 0.5
+    ib = jax.random.normal(jax.random.fold_in(key, 1), (2, 6, 1))
+
+    losses = {}
+    for policy in ("bfloat16_mixed", "bfloat16_shadow"):
+        tcfg = dataclasses.replace(TrainConfig(learning_rate=3e-3),
+                                   compute_dtype=policy)
+        tx = make_optimizer(tcfg)
+        params = init_temporal(jax.random.PRNGKey(0), cfg)
+        opt = tx.init(params)
+        if policy == "bfloat16_shadow":
+            assert isinstance(opt, ShadowOptState)
+            for s, p in zip(jax.tree.leaves(opt.shadow),
+                            jax.tree.leaves(params)):
+                assert s.dtype == (jnp.bfloat16 if jnp.issubdtype(
+                    p.dtype, jnp.floating) else p.dtype)
+        step = make_train_step(cfg, tx, compute_dtype=policy)
+        traj = []
+        for i in range(25):
+            params, opt, stats = step(params, opt, src, tgt, ib,
+                                      jax.random.fold_in(key, 10 + i))
+            traj.append(float(stats["loss"]))
+        if policy == "bfloat16_shadow":
+            # The shadow is exactly the bf16 image of the new masters.
+            want = to_bf16(params)
+            for a, b in zip(jax.tree.leaves(opt.shadow),
+                            jax.tree.leaves(want)):
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        losses[policy] = traj
+    mixed, shadow = losses["bfloat16_mixed"], losses["bfloat16_shadow"]
+    assert shadow[-1] < shadow[0] * 0.7, shadow
+    for a, b in zip(mixed, shadow):
+        assert abs(a - b) <= 0.05 * max(abs(a), abs(b)) + 1e-6, (mixed,
+                                                                 shadow)
+
+
+def test_bf16_shadow_checkpoint_roundtrip(tmp_path):
+    """A full checkpoint saved mid-run under compute_dtype=
+    'bfloat16_shadow' restores the ShadowOptState (bf16 shadow leaves
+    intact) through the npz template path, and the restored state steps."""
+    import dataclasses
+    from sea_tpu.models.temporal import init_temporal
+    from sea_tpu.train.optim import make_optimizer
+    from sea_tpu.train.train_temporal import make_train_step
+    from sea_tpu.configs.base import TrainConfig
+    from sea_tpu.utils.checkpoint import (load_full_checkpoint,
+                                          save_checkpoint)
+
+    cfg = TemporalModelConfig(num_layers=1, embed_dim=16, n_heads=2,
+                              num_fields=2, scale_ratio=2)
+    tcfg = dataclasses.replace(TrainConfig(learning_rate=1e-3),
+                               compute_dtype="bfloat16_shadow")
+    tx = make_optimizer(tcfg)
+    params = init_temporal(jax.random.PRNGKey(0), cfg)
+    opt = tx.init(params)
+    step = make_train_step(cfg, tx, compute_dtype="bfloat16_shadow")
+    key = jax.random.PRNGKey(1)
+    src = jax.random.normal(key, (2, 6, 2, 16))
+    ib = jax.random.normal(jax.random.fold_in(key, 1), (2, 6, 1))
+    params, opt, _ = step(params, opt, src, src * 0.5, ib,
+                          jax.random.PRNGKey(2))
+
+    path = save_checkpoint(str(tmp_path), "temporal", "c", "r", params,
+                           opt_state=opt, meta={"epoch": 1})
+    rparams, ropt, _ = load_full_checkpoint(path, params, tx.init(params))
+    assert ropt is not None
+    assert jax.tree.structure(ropt) == jax.tree.structure(opt)
+    for a, b in zip(jax.tree.leaves(opt), jax.tree.leaves(ropt)):
+        assert np.asarray(a).dtype == np.asarray(b).dtype
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # The restored state steps (shadow consumed by the forward).
+    rparams, ropt, stats = step(rparams, ropt, src, src * 0.5, ib,
+                                jax.random.PRNGKey(3))
+    assert np.isfinite(float(stats["loss"]))

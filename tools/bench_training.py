@@ -52,10 +52,12 @@ def build(case_name, impl, dtype, batch=None, log_norms=True,
     cfg = get_case().temporal
     if remat:
         cfg = dataclasses.replace(cfg, remat=True)
-    tx = make_optimizer(dataclasses.replace(
-        TrainConfig(learning_rate=8e-5), adam_mu_dtype=mu_dtype))
     policy = {"f32": "float32", "bf16": "bfloat16",
-              "bf16_mixed": "bfloat16_mixed"}[dtype]
+              "bf16_mixed": "bfloat16_mixed",
+              "bf16_shadow": "bfloat16_shadow"}[dtype]
+    tx = make_optimizer(dataclasses.replace(
+        TrainConfig(learning_rate=8e-5), adam_mu_dtype=mu_dtype,
+        compute_dtype=policy))
     step = make_train_step(cfg, tx, compute_dtype=policy,
                            log_norms=log_norms)
     return cfg, step, tx, B, T
@@ -66,7 +68,8 @@ def main():
     ap.add_argument("--case", choices=["multiphase", "cylinder"],
                     default="multiphase")
     ap.add_argument("--impl", choices=["auto", "xla"], default="auto")
-    ap.add_argument("--dtype", choices=["f32", "bf16", "bf16_mixed"],
+    ap.add_argument("--dtype",
+                    choices=["f32", "bf16", "bf16_mixed", "bf16_shadow"],
                     default="f32")
     ap.add_argument("--batch", type=int, default=None,
                     help="override batch size (default 4; the 201M-param "
