@@ -112,9 +112,15 @@ class TemporalModelConfig:
     ln_type: str = "adaln"  # adaln | ln
     pool_update_method: str = "mlp"  # linear | mlp | pooling (pool mode only)
     # Rematerialize each temporal block in the backward pass
-    # (jax.checkpoint): trades recompute FLOPs for activation memory on
-    # long-sequence training. Off by default (SEA-scale fits comfortably).
-    remat: bool = False
+    # (jax.checkpoint). True/'full': save only block boundaries — maximal
+    # memory saving, recomputes the matmuls (long-sequence training).
+    # 'dots': checkpoint_policies.dots_saveable — matmul outputs are
+    # SAVED, only the cheap elementwise interiors (GELU, LN, residual
+    # adds) recompute in the backward pass; trades a little VPU recompute
+    # for the hidden-activation HBM round-trips, aimed at the
+    # activation-traffic-bound large-batch regime (BASELINE.md MFU rows).
+    # Off by default (SEA-scale fits comfortably).
+    remat: object = False  # False | True | "full" | "dots"
     # Fixed concat width for ib_addition_mode == 'concat' (temporal.py:40).
     ib_dim_concat: int = 64
 

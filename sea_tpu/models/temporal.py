@@ -372,13 +372,20 @@ def temporal_forward(params, cfg: TemporalModelConfig, x, ib, *, rng=None,
     block_fn = temporal_block
     if cfg.remat:
         # Rematerialize block activations in the backward pass
-        # (jax.checkpoint) — O(sqrt)-style memory for deep/long-T training.
+        # (jax.checkpoint). 'full'/True saves only block boundaries;
+        # 'dots' saves matmul outputs and recomputes just the elementwise
+        # interiors — cheap VPU work traded for the hidden-activation HBM
+        # round-trips (the dominant traffic at large batch).
+        policy = (jax.checkpoint_policies.dots_saveable
+                  if cfg.remat == "dots" else None)
+
         def block_fn(block, cfg, x_vars, ib, *, rng, deterministic,
                      attn_kw=None):
             f = jax.checkpoint(
                 lambda b, xs, c: temporal_block(b, cfg, xs, c, rng=rng,
                                                 deterministic=deterministic,
-                                                attn_kw=attn_kw))
+                                                attn_kw=attn_kw),
+                policy=policy)
             return f(block, x_vars, ib)
     for li, block in enumerate(params["blocks"]):
         brng = (jax.random.fold_in(rng, li)

@@ -445,8 +445,10 @@ def test_ib_mlp_dropout_active_in_training():
 
 
 @pytest.mark.heavy
-def test_remat_gradients_match():
-    """cfg.remat=True (jax.checkpoint per block) must not change gradients."""
+@pytest.mark.parametrize("remat", [True, "dots"])
+def test_remat_gradients_match(remat):
+    """cfg.remat (jax.checkpoint per block; 'dots' saves matmul outputs
+    and recomputes only elementwise interiors) must not change gradients."""
     import dataclasses
     import jax
     from sea_tpu.models.temporal import init_temporal, temporal_forward
@@ -455,7 +457,7 @@ def test_remat_gradients_match():
                               down_proj=2, exchange_mode="sea",
                               ib_scale_mode="mlp", ib_addition_mode="add",
                               ln_type="adaln")
-    cfg_remat = dataclasses.replace(cfg, remat=True)
+    cfg_remat = dataclasses.replace(cfg, remat=remat)
     params = init_temporal(jax.random.PRNGKey(0), cfg)
     x = jax.random.normal(jax.random.PRNGKey(1), (2, 5, 2, 16))
     ib = jax.random.normal(jax.random.PRNGKey(2), (2, 5, 1))

@@ -51,7 +51,7 @@ def build(case_name, impl, dtype, batch=None, log_norms=True,
         B = batch
     cfg = get_case().temporal
     if remat:
-        cfg = dataclasses.replace(cfg, remat=True)
+        cfg = dataclasses.replace(cfg, remat=remat)
     policy = {"f32": "float32", "bf16": "bfloat16",
               "bf16_mixed": "bfloat16_mixed",
               "bf16_shadow": "bfloat16_shadow"}[dtype]
@@ -81,11 +81,14 @@ def main():
     ap.add_argument("--mu", choices=["f32", "bf16"], default="f32",
                     help="AdamW first-moment dtype "
                          "(TrainConfig.adam_mu_dtype)")
-    ap.add_argument("--remat", action="store_true",
+    ap.add_argument("--remat", nargs="?", const="full",
+                    choices=["full", "dots"], default=None,
                     help="rematerialize the temporal blocks in the bwd "
-                         "pass (TemporalModelConfig.remat): trades MXU "
-                         "recompute for activation HBM traffic — the "
-                         "dominant term at B>=8")
+                         "pass (TemporalModelConfig.remat). 'full' (also "
+                         "the bare-flag value) recomputes everything; "
+                         "'dots' saves matmul outputs and recomputes only "
+                         "the elementwise interiors — targets activation "
+                         "HBM traffic, the dominant term at B>=8")
     args = ap.parse_args()
 
     import sea_tpu.ops.flash_attention as _fa
