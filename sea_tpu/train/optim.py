@@ -47,7 +47,12 @@ def with_bf16_shadow(tx: optax.GradientTransformation):
     are identical to the plain recipe; the ONLY numeric difference from
     'bfloat16_mixed' is that gradients are rounded to bf16 once on the
     way out of the backward pass (convergence pinned by
-    tests/test_features.py::test_bf16_shadow_matches_mixed_training)."""
+    tests/test_features.py::test_bf16_shadow_matches_mixed_training).
+    Under data parallelism this also makes the gradient all-reduce run
+    in bf16 — per-shard partial dW rounds before the psum (the standard
+    reduced-precision grad reduction); drift vs the single-device step
+    is bounded in
+    tests/test_parallel.py::test_temporal_shadow_sharded_matches_single_device."""
     from sea_tpu.utils.precision import to_bf16
 
     def init(params):

@@ -235,3 +235,58 @@ def test_spatial_driver_with_mesh(tmp_path):
     mesh = make_mesh(n_data=8, n_model=1)
     params, sd = train_spatial(case, data=synth, mesh=mesh)
     assert params is not None
+
+
+@requires_8
+def test_temporal_shadow_sharded_matches_single_device():
+    """compute_dtype='bfloat16_shadow' under DP x TP: the sharded step
+    (forward on the TP-sharded bf16 shadow from jit(tx.init), bf16 grads)
+    tracks the single-device shadow step — same data, dropout off. Under
+    DP the per-shard partial dW rounds to bf16 BEFORE the gradient
+    all-reduce (the standard reduced-precision grad-reduction; the
+    single-device step accumulates the whole batch in the MXU's f32
+    accumulator and rounds once), so params agree to Adam-normalized
+    bf16-rounding tolerance (~lr x bf16 eps), not exactly. The shadow
+    invariant (shadow == to_bf16(params)) holds on the mesh."""
+    import dataclasses
+    from sea_tpu.train.optim import ShadowOptState
+    from sea_tpu.utils.precision import to_bf16
+    cfg = _tcfg()
+    params = init_temporal(jax.random.PRNGKey(0), cfg)
+    tcfg = dataclasses.replace(TrainConfig(learning_rate=1e-3),
+                               compute_dtype="bfloat16_shadow")
+    tx = make_optimizer(tcfg)
+    B, T = 8, 6
+    key = jax.random.PRNGKey(1)
+    src = jax.random.normal(key, (B, T, cfg.num_fields, cfg.embed_dim))
+    tgt = jax.random.normal(jax.random.fold_in(key, 1), src.shape)
+    ib = jax.random.normal(jax.random.fold_in(key, 2), (B, T, cfg.ib_num))
+    rng = jax.random.PRNGKey(3)
+
+    from sea_tpu.train.train_temporal import make_train_step
+    step1 = make_train_step(cfg, tx, compute_dtype="bfloat16_shadow")
+    p1, o1, stats1 = step1(jax.tree.map(jnp.copy, params), tx.init(params),
+                           src, tgt, ib, rng)
+
+    mesh = make_mesh(n_data=4, n_model=2)
+    step8, pp, po, place = make_sharded_temporal_train_step(
+        mesh, cfg, tx, params, compute_dtype="bfloat16_shadow")
+    assert isinstance(po, ShadowOptState)
+    p8, o8, stats8 = step8(pp, po, *place(src, tgt, ib), rng)
+
+    np.testing.assert_allclose(float(stats8["loss"]), float(stats1["loss"]),
+                               rtol=2e-3)
+    # One Adam step moves each param by <= lr and the first step is
+    # sign-like (g/|g|), so where a NEAR-ZERO gradient's bf16 rounding
+    # differs between the two reduction orders the update can flip sign —
+    # the provable per-param bound is 2 x lr. Require that bound
+    # everywhere and near-exact agreement for all but a trace of params.
+    lr = 1e-3
+    diffs = np.concatenate(
+        [np.abs(np.asarray(a) - np.asarray(b)).ravel()
+         for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p8))])
+    assert diffs.max() <= 2.05 * lr, diffs.max()
+    assert np.mean(diffs > 0.3 * lr) < 0.01, np.mean(diffs > 0.3 * lr)
+    for a, b in zip(jax.tree.leaves(o8.shadow),
+                    jax.tree.leaves(to_bf16(p8))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
