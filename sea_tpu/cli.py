@@ -96,7 +96,31 @@ def main(argv=None):
                              "an N-device ring (ring attention with in-ring "
                              "dropout) — for windows that exceed one chip's "
                              "memory. Mutually exclusive with --mesh")
+    parser.add_argument("--compute_dtype",
+                        choices=["f32", "bf16", "bf16_mixed", "bf16_shadow"],
+                        default=None,
+                        help="train modes: override the config's numerics "
+                             "policy (TrainConfig.compute_dtype) for the "
+                             "stage being trained. bf16_shadow = mixed "
+                             "precision with a persistent bf16 weight copy "
+                             "in the optimizer state — the recommended "
+                             "big-model recipe together with --batch_size 8 "
+                             "and --adam_mu_dtype bf16 (BASELINE.md MFU "
+                             "rows)")
+    parser.add_argument("--batch_size", type=int, default=None,
+                        help="train modes: override the config batch size "
+                             "(larger batches amortize the fixed AdamW "
+                             "state traffic — see BASELINE.md MFU scaling)")
+    parser.add_argument("--adam_mu_dtype", choices=["f32", "bf16"],
+                        default=None,
+                        help="train modes: AdamW first-moment storage dtype "
+                             "(TrainConfig.adam_mu_dtype); bf16 halves the "
+                             "first-moment HBM traffic")
     args = parser.parse_args(argv)
+    if (args.compute_dtype or args.batch_size or args.adam_mu_dtype) \
+            and args.mode != "train":
+        parser.error("--compute_dtype/--batch_size/--adam_mu_dtype only "
+                     "apply to train modes (serving precision is --precision)")
     if args.seq_parallel and (args.model_type, args.mode) != \
             ("temporal", "train"):
         parser.error("--seq_parallel only applies to `temporal train`")
@@ -117,6 +141,26 @@ def main(argv=None):
     if args.save_dir:
         case = case.replace(run=dataclasses.replace(case.run,
                                                     save_dir=args.save_dir))
+    if args.compute_dtype or args.batch_size or args.adam_mu_dtype:
+        # Recipe overrides for the stage being trained. Applied BEFORE
+        # checkpoint-template construction: compute_dtype selects the
+        # optimizer wrapper (bf16_shadow carries state), so the resume
+        # template must be built from the overridden config.
+        policy = {"f32": "float32", "bf16": "bfloat16",
+                  "bf16_mixed": "bfloat16_mixed",
+                  "bf16_shadow": "bfloat16_shadow"}
+        stage = ("spatial_train" if args.model_type == "encoder"
+                 else "temporal_train")
+        tc = getattr(case, stage)
+        updates = {}
+        if args.compute_dtype:
+            updates["compute_dtype"] = policy[args.compute_dtype]
+        if args.batch_size:
+            updates["batch_size"] = args.batch_size
+        if args.adam_mu_dtype:
+            updates["adam_mu_dtype"] = ("bfloat16" if args.adam_mu_dtype
+                                        == "bf16" else "float32")
+        case = case.replace(**{stage: dataclasses.replace(tc, **updates)})
     data = _load_data(case, args.synthetic)
     if data is not None:
         # Synthetic data is smaller than the configured real datasets:

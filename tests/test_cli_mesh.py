@@ -137,3 +137,32 @@ def test_cli_sharded_serving_matches_single_device(tmp_path, capsys):
     for key in ("encoded_rel_mse", "decoded_rel_mse"):
         assert abs(metric(single, key) - metric(sharded, key)) \
             <= 1e-3 * max(1.0, abs(metric(single, key)))
+
+
+def test_cli_train_recipe_flags(tmp_path, capsys):
+    """--compute_dtype/--batch_size/--adam_mu_dtype surface the measured
+    training recipe (BASELINE.md MFU rows) on the CLI: training runs
+    under the override (bf16_shadow selects the shadow optimizer wrapper,
+    so the override must be applied before checkpoint templates), and the
+    flags are rejected outside train modes."""
+    save = str(tmp_path)
+    cli.main(["cylinder_flow_smoke", "encoder", "train", "--synthetic",
+              "--epochs", "1", "--save_dir", save, "--mesh", "none"])
+    cli.main(["cylinder_flow_smoke", "temporal", "train", "--synthetic",
+              "--epochs", "1", "--save_dir", save, "--mesh", "none",
+              "--compute_dtype", "bf16_shadow", "--batch_size", "2",
+              "--adam_mu_dtype", "bf16"])
+    assert os.path.exists(
+        os.path.join(save, "temporal_cylinder_flow_run1.npz"))
+    capsys.readouterr()
+    # Resume under the same recipe: the opt template includes the shadow.
+    cli.main(["cylinder_flow_smoke", "temporal", "train", "--synthetic",
+              "--epochs", "1", "--save_dir", save, "--mesh", "none",
+              "--compute_dtype", "bf16_shadow",
+              "--model_path",
+              os.path.join(save, "temporal_cylinder_flow_run1.npz")])
+    assert "Continuing training" in capsys.readouterr().out
+    with pytest.raises(SystemExit):
+        cli.main(["cylinder_flow_smoke", "temporal", "test", "--synthetic",
+                  "--save_dir", save, "--compute_dtype", "bf16_mixed"])
+    assert "--compute_dtype" in capsys.readouterr().err
