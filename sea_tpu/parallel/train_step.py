@@ -178,6 +178,7 @@ def make_sharded_spatial_train_step(mesh: Mesh, cfg: SpatialModelConfig,
 
 def make_seq_parallel_train_step(mesh: Mesh, cfg: TemporalModelConfig,
                                  tx, params, *, init_opt_state=None,
+                                 compute_dtype: str = "float32",
                                  log_norms: bool = True,
                                  per_tensor: bool = False):
     """Sequence-parallel (ring attention) teacher-forced training: the TIME
@@ -191,17 +192,27 @@ def make_seq_parallel_train_step(mesh: Mesh, cfg: TemporalModelConfig,
     flash kernel's global-position counter-hash mask — identical mask for
     any ring size."""
     from sea_tpu.parallel.mesh import replicate, shard_seq
+    from sea_tpu.utils.precision import train_cast
     placed_params = replicate(mesh, params)
     placed_opt = replicate(mesh, init_opt_state if init_opt_state is not None
                            else tx.init(params))
+    cast_p, cast_x = train_cast(compute_dtype)
+    shadow = compute_dtype == "bfloat16_shadow"
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def step(params, opt_state, src, tgt, ib, rng):
         def loss_fn(p):
-            out = temporal_forward(p, cfg, src, ib, seq_mesh=mesh, rng=rng,
+            s, i = cast_x(src, ib)
+            out = temporal_forward(p, cfg, s, i, seq_mesh=mesh, rng=rng,
                                    deterministic=False)
-            return M.mse(out, tgt)
-        loss, grads = jax.value_and_grad(loss_fn)(params)
+            return M.mse(out.astype(jnp.float32), tgt)
+        if shadow:
+            # Forward/backward on the replicated bf16 shadow in the
+            # optimizer state (train/optim.with_bf16_shadow).
+            loss, grads = jax.value_and_grad(loss_fn)(opt_state.shadow)
+        else:
+            loss, grads = jax.value_and_grad(
+                lambda p: loss_fn(cast_p(p)))(params)
         updates, opt_state = tx.update(grads, opt_state, params)
         stats = {"loss": loss,
                  **_norm_stats(grads, params, log_norms, per_tensor)}

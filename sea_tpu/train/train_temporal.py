@@ -218,6 +218,7 @@ def train(case: CaseConfig,
         train_step, params, opt_state, place_batch = \
             make_seq_parallel_train_step(seq_mesh, cfg, tx, params,
                                          init_opt_state=init_opt_state,
+                                         compute_dtype=tcfg.compute_dtype,
                                          log_norms=tcfg.log_norms,
                                          per_tensor=tcfg.log_per_tensor)
     else:

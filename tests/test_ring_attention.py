@@ -289,3 +289,47 @@ def test_seq_parallel_train_step_with_dropout():
                 for a, b in zip(jax.tree.leaves(params_np),
                                 jax.tree.leaves(pp2)))
     assert moved
+
+
+def test_seq_parallel_step_compute_dtype_tracks_single_device():
+    """compute_dtype wires through the sequence-parallel step (it was
+    silently f32-only before): for 'bfloat16_mixed' and 'bfloat16_shadow'
+    the ring step's loss tracks the single-device step's loss at the same
+    policy (dropout off; ring attention runs bf16 with f32 accumulators),
+    and params move. Shadow additionally keeps its invariant
+    shadow == to_bf16(params) on the ring."""
+    import dataclasses
+    from sea_tpu.configs.base import TrainConfig
+    from sea_tpu.models.temporal import init_temporal
+    from sea_tpu.parallel.mesh import make_seq_mesh
+    from sea_tpu.parallel.train_step import make_seq_parallel_train_step
+    from sea_tpu.train.optim import ShadowOptState, make_optimizer
+    from sea_tpu.train.train_temporal import make_train_step
+    from sea_tpu.utils.precision import to_bf16
+    cfg = _model_cfg(dropout=0.0)
+    B, T = 1, 64
+    key = jax.random.PRNGKey(2)
+    src = jax.random.normal(key, (B, T, cfg.num_fields, cfg.embed_dim))
+    tgt = jax.random.normal(jax.random.fold_in(key, 1), src.shape)
+    ib = jax.random.normal(jax.random.fold_in(key, 2), (B, T, cfg.ib_num))
+    rng = jax.random.PRNGKey(3)
+
+    for policy in ("bfloat16_mixed", "bfloat16_shadow"):
+        tx = make_optimizer(dataclasses.replace(
+            TrainConfig(learning_rate=1e-3), compute_dtype=policy))
+        params = init_temporal(jax.random.PRNGKey(0), cfg)
+        step1 = make_train_step(cfg, tx, compute_dtype=policy)
+        _, _, stats1 = step1(jax.tree.map(jnp.copy, params),
+                             tx.init(params), src, tgt, ib, rng)
+
+        stepN, pp, po, place = make_seq_parallel_train_step(
+            make_seq_mesh(8), cfg, tx, params, compute_dtype=policy)
+        if policy == "bfloat16_shadow":
+            assert isinstance(po, ShadowOptState)
+        pN, oN, statsN = stepN(pp, po, *place(src, tgt, ib), rng)
+        np.testing.assert_allclose(float(statsN["loss"]),
+                                   float(stats1["loss"]), rtol=5e-3)
+        if policy == "bfloat16_shadow":
+            for a, b in zip(jax.tree.leaves(oN.shadow),
+                            jax.tree.leaves(to_bf16(pN))):
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
