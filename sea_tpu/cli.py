@@ -117,8 +117,10 @@ def main(argv=None):
                              "(TrainConfig.adam_mu_dtype); bf16 halves the "
                              "first-moment HBM traffic")
     args = parser.parse_args(argv)
-    if (args.compute_dtype or args.batch_size or args.adam_mu_dtype) \
-            and args.mode != "train":
+    if args.batch_size is not None and args.batch_size < 1:
+        parser.error(f"--batch_size must be >= 1; got {args.batch_size}")
+    if (args.compute_dtype or args.batch_size is not None
+            or args.adam_mu_dtype) and args.mode != "train":
         parser.error("--compute_dtype/--batch_size/--adam_mu_dtype only "
                      "apply to train modes (serving precision is --precision)")
     if args.seq_parallel and (args.model_type, args.mode) != \
@@ -141,21 +143,20 @@ def main(argv=None):
     if args.save_dir:
         case = case.replace(run=dataclasses.replace(case.run,
                                                     save_dir=args.save_dir))
-    if args.compute_dtype or args.batch_size or args.adam_mu_dtype:
+    if args.compute_dtype or args.batch_size is not None \
+            or args.adam_mu_dtype:
         # Recipe overrides for the stage being trained. Applied BEFORE
         # checkpoint-template construction: compute_dtype selects the
         # optimizer wrapper (bf16_shadow carries state), so the resume
         # template must be built from the overridden config.
-        policy = {"f32": "float32", "bf16": "bfloat16",
-                  "bf16_mixed": "bfloat16_mixed",
-                  "bf16_shadow": "bfloat16_shadow"}
+        from sea_tpu.utils.precision import POLICY_BY_FLAG
         stage = ("spatial_train" if args.model_type == "encoder"
                  else "temporal_train")
         tc = getattr(case, stage)
         updates = {}
         if args.compute_dtype:
-            updates["compute_dtype"] = policy[args.compute_dtype]
-        if args.batch_size:
+            updates["compute_dtype"] = POLICY_BY_FLAG[args.compute_dtype]
+        if args.batch_size is not None:
             updates["batch_size"] = args.batch_size
         if args.adam_mu_dtype:
             updates["adam_mu_dtype"] = ("bfloat16" if args.adam_mu_dtype
@@ -394,8 +395,24 @@ def _load_train_checkpoint(path: str, template, cfg, train_cfg, *,
     # training path builds the real opt state from the restored leaves).
     opt_template = jax.tree.map(lambda s: np.zeros(s.shape, s.dtype),
                                 jax.eval_shape(tx.init, template))
-    params, opt_state, _ = load_full_checkpoint(path, template,
-                                                opt_template)
+    try:
+        params, opt_state, _ = load_full_checkpoint(path, template,
+                                                    opt_template)
+    except KeyError as exc:
+        # Optimizer STRUCTURE mismatch — most commonly a checkpoint
+        # written under a different compute_dtype recipe (bf16_shadow
+        # carries the shadow copy in its state; plain recipes don't).
+        # Params are still valid: resume them with a fresh optimizer
+        # (the reference's behavior) rather than dying on a bare
+        # KeyError, and say exactly what happened.
+        print(f"Warning: optimizer state in {path} does not match the "
+              f"configured optimizer structure (missing leaf {exc}) — "
+              "likely saved under a different --compute_dtype recipe "
+              "(bf16_shadow vs plain). Resuming params with a FRESH "
+              "optimizer; pass the original recipe flags to continue "
+              "the Adam moments.")
+        params, _, _ = load_full_checkpoint(path, template, None)
+        return params, None
     if opt_state is not None:
         print("Restored optimizer state (resume continues Adam moments)")
     return params, opt_state

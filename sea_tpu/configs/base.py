@@ -137,6 +137,11 @@ class TemporalModelConfig:
                 f"Invalid ib_addition_mode: {self.ib_addition_mode!r}")
         if self.ln_type.lower() not in ("adaln", "ln"):
             raise ValueError(f"Invalid ln_type: {self.ln_type!r}")
+        if self.remat not in (False, True, "full", "dots"):
+            raise ValueError(
+                f"Invalid remat: {self.remat!r} (False | True | 'full' | "
+                "'dots') — a truthy typo would silently select FULL "
+                "rematerialization")
 
     @property
     def internal_embed_dim(self) -> int:

@@ -111,6 +111,14 @@ def quantize_weights_int4(tree, min_size: int = 1 << 16):
     return _quantize_weights(tree, min_size, leaf)
 
 
+# Short CLI/tool flag -> TrainConfig.compute_dtype policy name. Single
+# source of truth for every surface that takes the short spelling
+# (sea_tpu/cli.py --compute_dtype, tools/bench_training.py --dtype).
+POLICY_BY_FLAG = {"f32": "float32", "bf16": "bfloat16",
+                  "bf16_mixed": "bfloat16_mixed",
+                  "bf16_shadow": "bfloat16_shadow"}
+
+
 def train_cast(compute_dtype: str):
     """(cast_params, cast_inputs) for a TrainConfig.compute_dtype policy.
 

@@ -162,7 +162,20 @@ def test_cli_train_recipe_flags(tmp_path, capsys):
               "--model_path",
               os.path.join(save, "temporal_cylinder_flow_run1.npz")])
     assert "Continuing training" in capsys.readouterr().out
+    # Resume the SHADOW checkpoint without the recipe flag: the optimizer
+    # structure mismatches — params resume with a fresh optimizer and a
+    # loud warning naming the likely cause, not a bare KeyError.
+    cli.main(["cylinder_flow_smoke", "temporal", "train", "--synthetic",
+              "--epochs", "1", "--save_dir", save, "--mesh", "none",
+              "--model_path",
+              os.path.join(save, "temporal_cylinder_flow_run1.npz")])
+    out = capsys.readouterr().out
+    assert "FRESH" in out and "compute_dtype" in out
     with pytest.raises(SystemExit):
         cli.main(["cylinder_flow_smoke", "temporal", "test", "--synthetic",
                   "--save_dir", save, "--compute_dtype", "bf16_mixed"])
     assert "--compute_dtype" in capsys.readouterr().err
+    with pytest.raises(SystemExit):
+        cli.main(["cylinder_flow_smoke", "temporal", "train", "--synthetic",
+                  "--save_dir", save, "--batch_size", "0"])
+    assert "--batch_size" in capsys.readouterr().err

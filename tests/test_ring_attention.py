@@ -291,6 +291,7 @@ def test_seq_parallel_train_step_with_dropout():
     assert moved
 
 
+@requires_8
 def test_seq_parallel_step_compute_dtype_tracks_single_device():
     """compute_dtype wires through the sequence-parallel step (it was
     silently f32-only before): for 'bfloat16_mixed' and 'bfloat16_shadow'

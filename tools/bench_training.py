@@ -52,9 +52,8 @@ def build(case_name, impl, dtype, batch=None, log_norms=True,
     cfg = get_case().temporal
     if remat:
         cfg = dataclasses.replace(cfg, remat=remat)
-    policy = {"f32": "float32", "bf16": "bfloat16",
-              "bf16_mixed": "bfloat16_mixed",
-              "bf16_shadow": "bfloat16_shadow"}[dtype]
+    from sea_tpu.utils.precision import POLICY_BY_FLAG
+    policy = POLICY_BY_FLAG[dtype]
     tx = make_optimizer(dataclasses.replace(
         TrainConfig(learning_rate=8e-5), adam_mu_dtype=mu_dtype,
         compute_dtype=policy))
@@ -138,7 +137,12 @@ def main():
                                              log_norms=not args.no_norms)
                 flops, _ = cost_of(xla_step)  # keep the auto-step bytes
             finally:
-                _fa.flash_supported = real_flash_supported
+                # --impl xla must stay disabled through the TIMED loop
+                # below: lower().compile() does not seed the jit cache,
+                # so the first timed call re-traces and would otherwise
+                # pick the flash path back up.
+                if args.impl != "xla":
+                    _fa.flash_supported = real_flash_supported
     except Exception:
         flops = nbytes = 0.0
 
