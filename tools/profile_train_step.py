@@ -25,14 +25,16 @@ import jax
 import jax.numpy as jnp
 
 
-def capture(case_name, dtype, impl, steps, logdir):
+def capture(case_name, dtype, impl, steps, logdir, batch=None,
+            mu_dtype="float32"):
     import sea_tpu.ops.flash_attention as _fa
     if impl == "xla":
         _fa.flash_supported = lambda *a, **k: False
     from bench_training import build  # same harness as the MFU bench
     from sea_tpu.models.temporal import init_temporal
 
-    cfg, step, tx, B, T = build(case_name, impl, dtype)
+    cfg, step, tx, B, T = build(case_name, impl, dtype, batch=batch,
+                                mu_dtype=mu_dtype)
     params = init_temporal(jax.random.PRNGKey(0), cfg)
     opt_state = tx.init(params)
     key = jax.random.PRNGKey(1)
@@ -117,15 +119,22 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--case", choices=["multiphase", "cylinder"],
                     default="multiphase")
-    ap.add_argument("--dtype", choices=["f32", "bf16", "bf16_mixed"],
+    ap.add_argument("--dtype",
+                    choices=["f32", "bf16", "bf16_mixed", "bf16_shadow"],
                     default="f32")
     ap.add_argument("--impl", choices=["auto", "xla"], default="auto")
     ap.add_argument("--steps", type=int, default=5)
+    ap.add_argument("--batch", type=int, default=None,
+                    help="override batch size (bench_training.build)")
+    ap.add_argument("--mu", choices=["f32", "bf16"], default="f32",
+                    help="AdamW first-moment dtype")
     ap.add_argument("--logdir", default=None,
                     help="keep the raw trace here (default: temp dir)")
     args = ap.parse_args()
     logdir = args.logdir or tempfile.mkdtemp(prefix="seatpu_prof_")
-    capture(args.case, args.dtype, args.impl, args.steps, logdir)
+    capture(args.case, args.dtype, args.impl, args.steps, logdir,
+            batch=args.batch,
+            mu_dtype="bfloat16" if args.mu == "bf16" else "float32")
     summarize(logdir, args.steps)
 
 
