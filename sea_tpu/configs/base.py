@@ -225,6 +225,17 @@ class TrainConfig:
     # single cost of the big-model train step. "float32" (default)
     # matches the reference numerics exactly.
     adam_mu_dtype: str = "float32"  # "float32" | "bfloat16"
+    # Keep the TRAIN split resident in device HBM and gather minibatches
+    # on-device (jnp.take with host-chosen indices) instead of slicing
+    # host arrays and re-uploading every step. Identical batch order and
+    # numerics (data/datasets.batch_index_iterator is the single source
+    # of the shuffle); saves one host->device transfer per step — on a
+    # remote/tunneled TPU that is a round-trip per batch. Applies to the
+    # single-device temporal path; auto-falls back to host batching when
+    # the split exceeds device_resident_max_bytes, under time_shifting
+    # (windows regenerate on host every epoch), or on sharded paths.
+    device_resident_data: bool = True
+    device_resident_max_bytes: int = 4 << 30
 
 
 @dataclass(frozen=True)

@@ -127,6 +127,24 @@ def make_temporal_windows(latents: np.ndarray, originals: np.ndarray,
                            tgt_original=np.stack(origs), ib=np.stack(ibs))
 
 
+def batch_index_iterator(n: int, batch_size: int, *, shuffle: bool,
+                         seed: int = 0, epoch: int = 0,
+                         drop_remainder: bool = False
+                         ) -> Iterator[np.ndarray]:
+    """Yield index arrays for minibatches — the single source of the
+    batching/shuffle order. batch_iterator slices host arrays with these;
+    the device-resident training path ships the SAME indices to an
+    on-device gather instead, so the two paths are numerically
+    identical batch for batch."""
+    idx = np.arange(n)
+    if shuffle:
+        rng = np.random.RandomState((seed * 1_000_003 + epoch) % (2 ** 31))
+        rng.shuffle(idx)
+    end = (n - n % batch_size) if drop_remainder else n
+    for start in range(0, end, batch_size):
+        yield idx[start:start + batch_size]
+
+
 def batch_iterator(arrays: Sequence[np.ndarray], batch_size: int, *,
                    shuffle: bool, seed: int = 0, epoch: int = 0,
                    drop_remainder: bool = False
@@ -135,13 +153,9 @@ def batch_iterator(arrays: Sequence[np.ndarray], batch_size: int, *,
     n = len(arrays[0])
     for a in arrays:
         assert len(a) == n
-    idx = np.arange(n)
-    if shuffle:
-        rng = np.random.RandomState((seed * 1_000_003 + epoch) % (2 ** 31))
-        rng.shuffle(idx)
-    end = (n - n % batch_size) if drop_remainder else n
-    for start in range(0, end, batch_size):
-        sel = idx[start:start + batch_size]
+    for sel in batch_index_iterator(n, batch_size, shuffle=shuffle,
+                                    seed=seed, epoch=epoch,
+                                    drop_remainder=drop_remainder):
         yield tuple(a[sel] for a in arrays)
 
 

@@ -25,7 +25,7 @@ import numpy as np
 import optax
 
 from sea_tpu.configs.base import CaseConfig, SpatialModelConfig
-from sea_tpu.data.datasets import apply_sea_layout, batch_iterator, \
+from sea_tpu.data.datasets import apply_sea_layout, \
     padded_batch_iterator, split_indices
 from sea_tpu.data.io import load_case_data
 from sea_tpu.data.mesh import MeshProcessor
@@ -216,18 +216,40 @@ def train(case: CaseConfig,
     iteration = 0
     start = time.time()
 
+    # Device-resident train split (TrainConfig.device_resident_data):
+    # upload once, gather shuffled minibatches on-device — identical
+    # batch order/numerics to host batching (shared index stream), one
+    # host->device transfer per run instead of per step. Single-device
+    # path only; see train_temporal for the same pattern.
+    resident = None
+    if (getattr(tcfg, "device_resident_data", False)
+            and place_batch is None
+            and sd.train.nbytes <= getattr(tcfg, "device_resident_max_bytes",
+                                           4 << 30)):
+        resident = jnp.asarray(sd.train)
+
+    @jax.jit
+    def _gather(data, idx):
+        return jnp.take(data, idx, axis=0)
+
+    from sea_tpu.data.datasets import batch_index_iterator
+
     for epoch in range(1, n_epochs + 1):
         # On-device stat accumulation: the loop stays fully async (no
         # per-batch device->host fence); one readback per epoch.
         acc = M.StatsAccumulator()
         last_stats = None
-        for (batch,) in batch_iterator([sd.train], batch_size,
-                                       shuffle=True,
-                                       seed=case.spatial_split.random_seed,
-                                       epoch=epoch, drop_remainder=True):
+        for sel in batch_index_iterator(len(sd.train), batch_size,
+                                        shuffle=True,
+                                        seed=case.spatial_split.random_seed,
+                                        epoch=epoch, drop_remainder=True):
             rng, step_key = jax.random.split(rng)
-            batch = (place_batch(batch) if place_batch is not None
-                     else jnp.asarray(batch))
+            if resident is not None:
+                batch = _gather(resident, jnp.asarray(sel))
+            else:
+                batch = (place_batch(sd.train[sel])
+                         if place_batch is not None
+                         else jnp.asarray(sd.train[sel]))
             params, opt_state, stats = train_step(
                 params, opt_state, batch, step_key,
                 jnp.asarray(iteration))

@@ -240,6 +240,28 @@ def train(case: CaseConfig,
     best_params = snapshot_tree(params)
     start = time.time()
 
+    # Device-resident train split (TrainConfig.device_resident_data):
+    # upload src/tgt/ib ONCE and gather shuffled minibatches on-device —
+    # identical batch order/numerics to host batching (the index stream
+    # is shared, data/datasets.batch_index_iterator), but one
+    # host->device transfer per RUN instead of one per step. Single-
+    # device path only (sharded paths place per-device shards) and only
+    # while windows are static (time_shifting regenerates them on host).
+    resident = None
+    if (getattr(tcfg, "device_resident_data", False)
+            and place_batch is None and not tcfg.dataset_time_shifting):
+        split_bytes = sum(np.asarray(a).nbytes for a in
+                          (td.train.src, td.train.tgt, td.train.ib))
+        if split_bytes <= getattr(tcfg, "device_resident_max_bytes",
+                                  4 << 30):
+            resident = (jnp.asarray(td.train.src),
+                        jnp.asarray(td.train.tgt),
+                        jnp.asarray(td.train.ib))
+
+    @jax.jit
+    def _gather(arrays, idx):
+        return tuple(jnp.take(a, idx, axis=0) for a in arrays)
+
     for epoch in range(1, n_epochs + 1):
         train_windows = td.train
         if tcfg.dataset_time_shifting and td.train_raw is not None:
@@ -252,12 +274,27 @@ def train(case: CaseConfig,
         # per-batch device->host fence); one readback per epoch.
         acc = M.StatsAccumulator()
         last_stats = None
-        for src, tgt, _, ib in batch_iterator(
+        if resident is not None:
+            from sea_tpu.data.datasets import batch_index_iterator
+            for sel in batch_index_iterator(
+                    len(train_windows.src), batch_size, shuffle=True,
+                    seed=case.temporal_split.random_seed, epoch=epoch,
+                    drop_remainder=True):
+                rng, step_key = jax.random.split(rng)
+                src, tgt, ib = _gather(resident, jnp.asarray(sel))
+                params, opt_state, stats = train_step(
+                    params, opt_state, src, tgt, ib, step_key)
+                acc.add(stats)
+                last_stats = stats
+            batches = None
+        else:
+            batches = batch_iterator(
                 [train_windows.src, train_windows.tgt,
                  train_windows.tgt_original,
                  train_windows.ib], batch_size, shuffle=True,
                 seed=case.temporal_split.random_seed, epoch=epoch,
-                drop_remainder=True):
+                drop_remainder=True)
+        for src, tgt, _, ib in (batches or ()):
             rng, step_key = jax.random.split(rng)
             if place_batch is not None:
                 src, tgt, ib = place_batch(src, tgt, ib)

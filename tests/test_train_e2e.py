@@ -253,3 +253,54 @@ def test_per_tensor_observability_driver(tmp_path, synth):
     assert any(r[2].startswith("Grad_Norm/") for r in tensor_rows)
     assert any(r[2].startswith("Param_Norm/") for r in tensor_rows)
     assert all(np.isfinite(float(r[3])) for r in tensor_rows)
+
+
+def test_device_resident_batching_matches_host_batching(tmp_path, synth):
+    """TrainConfig.device_resident_data (train split uploaded once,
+    minibatches gathered on-device with the SAME index stream as host
+    batching) must be numerically identical to the host path: same final
+    params after 2 epochs."""
+    import dataclasses
+    import jax
+    from sea_tpu.train.train_spatial import train as train_spatial
+    from sea_tpu.train.train_temporal import train as train_temporal
+
+    case = tiny_case(tmp_path)
+    sparams, _ = train_spatial(case, data=synth)
+
+    results = {}
+    for flag in (True, False):
+        case_f = case.replace(
+            run=dataclasses.replace(case.run,
+                                    save_dir=str(tmp_path / f"r{flag}")),
+            temporal_train=dataclasses.replace(
+                case.temporal_train, device_resident_data=flag))
+        os.makedirs(str(tmp_path / f"r{flag}"), exist_ok=True)
+        tparams, _ = train_temporal(case_f, data=synth,
+                                    spatial_params=sparams)
+        results[flag] = tparams
+    for a, b in zip(jax.tree.leaves(results[True]),
+                    jax.tree.leaves(results[False])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_spatial_device_resident_matches_host(tmp_path, synth):
+    """Spatial driver: device-resident batching is bit-identical to host
+    batching (same shared index stream)."""
+    import dataclasses
+    import jax
+    from sea_tpu.train.train_spatial import train as train_spatial
+    case = tiny_case(tmp_path)
+    results = {}
+    for flag in (True, False):
+        case_f = case.replace(
+            run=dataclasses.replace(case.run,
+                                    save_dir=str(tmp_path / f"s{flag}")),
+            spatial_train=dataclasses.replace(
+                case.spatial_train, device_resident_data=flag))
+        os.makedirs(str(tmp_path / f"s{flag}"), exist_ok=True)
+        sparams, _ = train_spatial(case_f, data=synth)
+        results[flag] = sparams
+    for a, b in zip(jax.tree.leaves(results[True]),
+                    jax.tree.leaves(results[False])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
