@@ -123,6 +123,55 @@ def bench_rollout(cfg, steps, *, dtype: str, key_base: int):
     return steps * REPEATS / elapsed, param_bytes
 
 
+def bench_train_step_shadow():
+    """Multiphase temporal train step at the recommended recipe
+    (compute_dtype='bfloat16_shadow', adam_mu_dtype=bf16, B=8, T=199):
+    (ms_per_step, mfu_vs_v5e_bf16_peak). MFU uses the compiled step's own
+    XLA cost analysis — valid here because multiphase at T=199 dispatches
+    XLA attention (flash needs T>=1024 deterministic), the same
+    methodology as tools/bench_training.py. Returns (None, None) if the
+    step fails (e.g. a CPU-only fallback environment OOMs)."""
+    import dataclasses
+    from sea_tpu.configs.base import TrainConfig
+    from sea_tpu.configs.multiphase_flow import get_case
+    from sea_tpu.models.temporal import init_temporal
+    from sea_tpu.train.optim import make_optimizer
+    from sea_tpu.train.train_temporal import make_train_step
+    try:
+        cfg = get_case().temporal
+        tx = make_optimizer(dataclasses.replace(
+            TrainConfig(learning_rate=8e-5), adam_mu_dtype="bfloat16",
+            compute_dtype="bfloat16_shadow"))
+        step = make_train_step(cfg, tx, compute_dtype="bfloat16_shadow")
+        params = init_temporal(jax.random.PRNGKey(0), cfg)
+        opt = tx.init(params)
+        B, T = 8, 199
+        key = jax.random.PRNGKey(1)
+        src = jax.random.normal(key, (B, T, cfg.num_fields, cfg.embed_dim))
+        tgt = jax.random.normal(jax.random.fold_in(key, 1), src.shape)
+        ib = jax.random.normal(jax.random.fold_in(key, 2),
+                               (B, T, cfg.ib_num))
+        compiled = step.lower(params, opt, src, tgt, ib,
+                              jax.random.PRNGKey(2)).compile()
+        ca = compiled.cost_analysis()
+        ca = ca[0] if isinstance(ca, list) else ca
+        flops = float(ca.get("flops", 0.0))
+        params, opt, stats = step(params, opt, src, tgt, ib,
+                                  jax.random.PRNGKey(2))
+        float(stats["loss"])  # fence (tunneled backend: host readback)
+        n = 10
+        t0 = time.perf_counter()
+        for i in range(n):
+            params, opt, stats = step(params, opt, src, tgt, ib,
+                                      jax.random.fold_in(key, 10 + i))
+        float(stats["loss"])
+        dt = (time.perf_counter() - t0) / n
+        return round(dt * 1000, 2), round(flops / dt / 197e12, 3)
+    except Exception as exc:  # never let the train row sink the bench
+        print(f"train-step bench skipped: {exc!r}", file=sys.stderr)
+        return None, None
+
+
 def _hbm_peak_gbps():
     """Peak HBM bandwidth for the detected chip (ADVICE r2: don't hard-code
     v5e). Values from public TPU spec sheets; unknown kinds fall back to the
@@ -161,6 +210,7 @@ def main():
     cyl_bf16, _ = bench_rollout(cyl_cfg, 399, dtype="bf16", key_base=3)
     cyl_f32, _ = bench_rollout(cyl_cfg, 399, dtype="f32", key_base=4)
     cyl_int4, _ = bench_rollout(cyl_cfg, 399, dtype="int4", key_base=7)
+    train_ms, train_mfu = bench_train_step_shadow()
 
     # Roofline: at B=1 every rollout step streams the full weight set from
     # HBM (activations/KV cache are small next to E=2048 matrices) — the
@@ -208,6 +258,12 @@ def main():
         "multiphase_int4w_vs_baseline": ratio(mp_int4, mp_ref),
         "int4w_drift_on_trained_weights": INT4_DRIFT,
         "scan_vs_prefix_on_chip": SCAN_VS_PREFIX_ON_CHIP,
+        # Training-throughput evidence at the recommended recipe
+        # (bfloat16_shadow + bf16 AdamW mu, B=8, T=199, multiphase):
+        # MFU vs the v5e bf16 peak from the compiled step's own XLA cost
+        # analysis — same methodology as BASELINE.md's MFU rows.
+        "train_step_bf16_shadow_B8_ms": train_ms,
+        "train_step_bf16_shadow_B8_mfu_vs_v5e_peak": train_mfu,
     }))
 
 
