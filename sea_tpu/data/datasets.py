@@ -159,6 +159,23 @@ def batch_iterator(arrays: Sequence[np.ndarray], batch_size: int, *,
         yield tuple(a[sel] for a in arrays)
 
 
+def padded_batch_index_iterator(n: int, batch_size: int
+                                ) -> Iterator[Tuple[np.ndarray, int]]:
+    """Yield (indices, n_valid) with every index array of length
+    batch_size — the tail padded by repeating its LAST valid index, the
+    same semantics as padded_batch_iterator's repeat-last-row padding.
+    Single source of the eval batching order; the device-resident eval
+    path gathers with these on-device."""
+    for start in range(0, n, batch_size):
+        end = min(start + batch_size, n)
+        idx = np.arange(start, end)
+        k = end - start
+        if k < batch_size:
+            idx = np.concatenate(
+                [idx, np.full(batch_size - k, end - 1, dtype=idx.dtype)])
+        yield idx, k
+
+
 def padded_batch_iterator(arrays: Sequence[np.ndarray], batch_size: int
                           ) -> Iterator[Tuple[Tuple[np.ndarray, ...], int]]:
     """Yield ((batch, ...), n_valid) with EVERY batch padded to batch_size
@@ -168,12 +185,5 @@ def padded_batch_iterator(arrays: Sequence[np.ndarray], batch_size: int
     n = len(arrays[0])
     for a in arrays:
         assert len(a) == n
-    for start in range(0, n, batch_size):
-        end = min(start + batch_size, n)
-        batch = [a[start:end] for a in arrays]
-        k = end - start
-        if k < batch_size:
-            batch = [np.concatenate(
-                [b, np.repeat(b[-1:], batch_size - k, axis=0)], axis=0)
-                for b in batch]
-        yield tuple(batch), k
+    for idx, k in padded_batch_index_iterator(n, batch_size):
+        yield tuple(a[idx] for a in arrays), k

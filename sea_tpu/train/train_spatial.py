@@ -221,12 +221,13 @@ def train(case: CaseConfig,
     # batch order/numerics to host batching (shared index stream), one
     # host->device transfer per run instead of per step. Single-device
     # path only; see train_temporal for the same pattern.
-    resident = None
+    resident = val_resident = None
     if (getattr(tcfg, "device_resident_data", False)
             and place_batch is None
-            and sd.train.nbytes <= getattr(tcfg, "device_resident_max_bytes",
-                                           4 << 30)):
+            and sd.train.nbytes + sd.val.nbytes
+            <= getattr(tcfg, "device_resident_max_bytes", 4 << 30)):
         resident = jnp.asarray(sd.train)
+        val_resident = jnp.asarray(sd.val)
 
     @jax.jit
     def _gather(data, idx):
@@ -279,11 +280,21 @@ def train(case: CaseConfig,
 
         if epoch % tcfg.validation_interval == 0 or epoch == n_epochs:
             vacc = M.StatsAccumulator()
-            for (batch,), n_valid in padded_batch_iterator(
-                    [sd.val], tcfg.batch_size):
-                vacc.add(eval_step(params, jnp.asarray(batch),
-                                   jnp.asarray(n_valid),
-                                   jnp.asarray(iteration)))
+            if val_resident is not None:
+                from sea_tpu.data.datasets import padded_batch_index_iterator
+                for idx, n_valid in padded_batch_index_iterator(
+                        len(sd.val), tcfg.batch_size):
+                    vacc.add(eval_step(params,
+                                       _gather(val_resident,
+                                               jnp.asarray(idx)),
+                                       jnp.asarray(n_valid),
+                                       jnp.asarray(iteration)))
+            else:
+                for (batch,), n_valid in padded_batch_iterator(
+                        [sd.val], tcfg.batch_size):
+                    vacc.add(eval_step(params, jnp.asarray(batch),
+                                       jnp.asarray(n_valid),
+                                       jnp.asarray(iteration)))
             vagg = vacc.means()
             val_metrics = {"Loss": vagg["loss"],
                            "Recon_Loss": vagg["recon_loss"],

@@ -247,16 +247,20 @@ def train(case: CaseConfig,
     # host->device transfer per RUN instead of one per step. Single-
     # device path only (sharded paths place per-device shards) and only
     # while windows are static (time_shifting regenerates them on host).
-    resident = None
+    resident = val_resident = None
     if (getattr(tcfg, "device_resident_data", False)
             and place_batch is None and not tcfg.dataset_time_shifting):
         split_bytes = sum(np.asarray(a).nbytes for a in
-                          (td.train.src, td.train.tgt, td.train.ib))
+                          (td.train.src, td.train.tgt, td.train.ib,
+                           td.val.src, td.val.tgt, td.val.ib))
         if split_bytes <= getattr(tcfg, "device_resident_max_bytes",
                                   4 << 30):
             resident = (jnp.asarray(td.train.src),
                         jnp.asarray(td.train.tgt),
                         jnp.asarray(td.train.ib))
+            val_resident = (jnp.asarray(td.val.src),
+                            jnp.asarray(td.val.tgt),
+                            jnp.asarray(td.val.ib))
 
     @jax.jit
     def _gather(arrays, idx):
@@ -324,12 +328,20 @@ def train(case: CaseConfig,
 
         if epoch % tcfg.validation_interval == 0 or epoch == n_epochs:
             vacc = M.StatsAccumulator()
-            for (src, tgt, ib), n_valid in padded_batch_iterator(
-                    [td.val.src, td.val.tgt, td.val.ib],
-                    tcfg.eval_batch_size):
-                vacc.add(eval_step(params, jnp.asarray(src),
-                                   jnp.asarray(tgt), jnp.asarray(ib),
-                                   jnp.asarray(n_valid)))
+            if val_resident is not None:
+                from sea_tpu.data.datasets import padded_batch_index_iterator
+                for idx, n_valid in padded_batch_index_iterator(
+                        len(td.val.src), tcfg.eval_batch_size):
+                    src, tgt, ib = _gather(val_resident, jnp.asarray(idx))
+                    vacc.add(eval_step(params, src, tgt, ib,
+                                       jnp.asarray(n_valid)))
+            else:
+                for (src, tgt, ib), n_valid in padded_batch_iterator(
+                        [td.val.src, td.val.tgt, td.val.ib],
+                        tcfg.eval_batch_size):
+                    vacc.add(eval_step(params, jnp.asarray(src),
+                                       jnp.asarray(tgt), jnp.asarray(ib),
+                                       jnp.asarray(n_valid)))
             val_loss = vacc.means().get("loss", 0.0)
             val_metrics = {"Loss": val_loss}
 
