@@ -123,14 +123,35 @@ def bench_rollout(cfg, steps, *, dtype: str, key_base: int):
     return steps * REPEATS / elapsed, param_bytes
 
 
+def _mxu_peak_tflops():
+    """Peak bf16 MXU FLOP/s for the detected chip (same rationale as
+    _hbm_peak_gbps: don't hard-code v5e). Public spec-sheet values;
+    unknown kinds fall back to v5e with the kind recorded."""
+    peaks = {"TPU v4": 275e12, "TPU v5e": 197e12, "TPU v5 lite": 197e12,
+             "TPU v5p": 459e12, "TPU v6e": 918e12, "TPU v6 lite": 918e12}
+    try:
+        kind = jax.devices()[0].device_kind
+    except Exception:
+        kind = "unknown"
+    for name, fl in peaks.items():
+        if kind.lower().startswith(name.lower()):
+            return kind, fl
+    return f"{kind} (assuming v5e peak)", 197e12
+
+
 def bench_train_step_shadow():
     """Multiphase temporal train step at the recommended recipe
     (compute_dtype='bfloat16_shadow', adam_mu_dtype=bf16, B=8, T=199):
-    (ms_per_step, mfu_vs_v5e_bf16_peak). MFU uses the compiled step's own
+    (ms_per_step, mfu_vs_chip_bf16_peak). MFU uses the compiled step's own
     XLA cost analysis — valid here because multiphase at T=199 dispatches
     XLA attention (flash needs T>=1024 deterministic), the same
-    methodology as tools/bench_training.py. Returns (None, None) if the
-    step fails (e.g. a CPU-only fallback environment OOMs)."""
+    methodology as tools/bench_training.py. Returns (None, None) off-TPU:
+    the 201M-param B=8 step on the 1-core host would grind for hours or
+    be OOM-killed (uncatchable), sinking the whole bench JSON."""
+    if jax.default_backend() != "tpu":
+        print("train-step bench skipped: backend is not TPU",
+              file=sys.stderr)
+        return None, None
     import dataclasses
     from sea_tpu.configs.base import TrainConfig
     from sea_tpu.configs.multiphase_flow import get_case
@@ -166,7 +187,8 @@ def bench_train_step_shadow():
                                       jax.random.fold_in(key, 10 + i))
         float(stats["loss"])
         dt = (time.perf_counter() - t0) / n
-        return round(dt * 1000, 2), round(flops / dt / 197e12, 3)
+        _, peak = _mxu_peak_tflops()
+        return round(dt * 1000, 2), round(flops / dt / peak, 3)
     except Exception as exc:  # never let the train row sink the bench
         print(f"train-step bench skipped: {exc!r}", file=sys.stderr)
         return None, None
@@ -260,10 +282,12 @@ def main():
         "scan_vs_prefix_on_chip": SCAN_VS_PREFIX_ON_CHIP,
         # Training-throughput evidence at the recommended recipe
         # (bfloat16_shadow + bf16 AdamW mu, B=8, T=199, multiphase):
-        # MFU vs the v5e bf16 peak from the compiled step's own XLA cost
-        # analysis — same methodology as BASELINE.md's MFU rows.
+        # MFU vs the detected chip's bf16 peak from the compiled step's
+        # own XLA cost analysis — same methodology as BASELINE.md's rows.
         "train_step_bf16_shadow_B8_ms": train_ms,
-        "train_step_bf16_shadow_B8_mfu_vs_v5e_peak": train_mfu,
+        "train_step_bf16_shadow_B8_mfu": train_mfu,
+        "mxu_peak_assumed": {"chip": _mxu_peak_tflops()[0],
+                             "tflops": _mxu_peak_tflops()[1] / 1e12},
     }))
 
 

@@ -232,7 +232,10 @@ class TrainConfig:
     # of the shuffle); saves one host->device transfer per step — on a
     # remote/tunneled TPU that is a round-trip per batch. Applies to the
     # single-device temporal path; auto-falls back to host batching when
-    # the split exceeds device_resident_max_bytes, under time_shifting
+    # the split exceeds the resident budget — device_resident_max_bytes
+    # further bounded by half the device's free HBM at setup time
+    # (data/datasets.device_resident_budget), so pinning the split can
+    # never OOM a run that fit under host batching — under time_shifting
     # (windows regenerate on host every epoch), or on sharded paths.
     device_resident_data: bool = True
     device_resident_max_bytes: int = 4 << 30

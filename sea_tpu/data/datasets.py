@@ -176,6 +176,25 @@ def padded_batch_index_iterator(n: int, batch_size: int
         yield idx, k
 
 
+def device_resident_budget(configured_max: int) -> int:
+    """Byte budget for pinning train/val splits in device memory
+    (TrainConfig.device_resident_max_bytes): the configured cap, further
+    bounded by HALF of the device's currently-free HBM when the runtime
+    reports it. Params/optimizer state are already placed when the
+    drivers call this, so `free` excludes them; the reserve leaves room
+    for the train step's activations/workspace — a split that used to
+    fit under per-step host batching must not OOM just because it is
+    now resident. Falls back to the configured cap where memory_stats
+    is unavailable (CPU backend)."""
+    import jax
+    try:
+        stats = jax.devices()[0].memory_stats() or {}
+        free = int(stats["bytes_limit"]) - int(stats["bytes_in_use"])
+        return min(configured_max, max(0, free // 2))
+    except Exception:
+        return configured_max
+
+
 def padded_batch_iterator(arrays: Sequence[np.ndarray], batch_size: int
                           ) -> Iterator[Tuple[Tuple[np.ndarray, ...], int]]:
     """Yield ((batch, ...), n_valid) with EVERY batch padded to batch_size

@@ -26,7 +26,7 @@ import optax
 
 from sea_tpu.configs.base import CaseConfig, SpatialModelConfig
 from sea_tpu.data.datasets import apply_sea_layout, \
-    padded_batch_iterator, split_indices
+    device_resident_budget, padded_batch_iterator, split_indices
 from sea_tpu.data.io import load_case_data
 from sea_tpu.data.mesh import MeshProcessor
 from sea_tpu.models.spatial import init_spatial, spatial_forward
@@ -225,7 +225,8 @@ def train(case: CaseConfig,
     if (getattr(tcfg, "device_resident_data", False)
             and place_batch is None
             and sd.train.nbytes + sd.val.nbytes
-            <= getattr(tcfg, "device_resident_max_bytes", 4 << 30)):
+            <= device_resident_budget(
+                getattr(tcfg, "device_resident_max_bytes", 4 << 30))):
         resident = jnp.asarray(sd.train)
         val_resident = jnp.asarray(sd.val)
 

@@ -26,7 +26,10 @@ import optax
 
 from sea_tpu.configs.base import CaseConfig, TemporalModelConfig
 from sea_tpu.data.datasets import (TemporalWindows, apply_sea_layout,
-                                   batch_iterator, make_temporal_windows,
+                                   batch_index_iterator,
+                                   device_resident_budget,
+                                   make_temporal_windows,
+                                   padded_batch_index_iterator,
                                    padded_batch_iterator, split_indices)
 from sea_tpu.data.io import load_case_data
 from sea_tpu.data.latents import (LatentService,
@@ -253,8 +256,8 @@ def train(case: CaseConfig,
         split_bytes = sum(np.asarray(a).nbytes for a in
                           (td.train.src, td.train.tgt, td.train.ib,
                            td.val.src, td.val.tgt, td.val.ib))
-        if split_bytes <= getattr(tcfg, "device_resident_max_bytes",
-                                  4 << 30):
+        if split_bytes <= device_resident_budget(
+                getattr(tcfg, "device_resident_max_bytes", 4 << 30)):
             resident = (jnp.asarray(td.train.src),
                         jnp.asarray(td.train.tgt),
                         jnp.asarray(td.train.ib))
@@ -278,33 +281,26 @@ def train(case: CaseConfig,
         # per-batch device->host fence); one readback per epoch.
         acc = M.StatsAccumulator()
         last_stats = None
-        if resident is not None:
-            from sea_tpu.data.datasets import batch_index_iterator
-            for sel in batch_index_iterator(
-                    len(train_windows.src), batch_size, shuffle=True,
-                    seed=case.temporal_split.random_seed, epoch=epoch,
-                    drop_remainder=True):
-                rng, step_key = jax.random.split(rng)
-                src, tgt, ib = _gather(resident, jnp.asarray(sel))
-                params, opt_state, stats = train_step(
-                    params, opt_state, src, tgt, ib, step_key)
-                acc.add(stats)
-                last_stats = stats
-            batches = None
-        else:
-            batches = batch_iterator(
-                [train_windows.src, train_windows.tgt,
-                 train_windows.tgt_original,
-                 train_windows.ib], batch_size, shuffle=True,
+        # One loop for both data paths (same index stream either way);
+        # only batch construction differs. The host path slices just
+        # src/tgt/ib — tgt_original (the largest array in the split) is
+        # not a train-step input.
+        for sel in batch_index_iterator(
+                len(train_windows.src), batch_size, shuffle=True,
                 seed=case.temporal_split.random_seed, epoch=epoch,
-                drop_remainder=True)
-        for src, tgt, _, ib in (batches or ()):
+                drop_remainder=True):
             rng, step_key = jax.random.split(rng)
-            if place_batch is not None:
-                src, tgt, ib = place_batch(src, tgt, ib)
+            if resident is not None:
+                src, tgt, ib = _gather(resident, jnp.asarray(sel))
             else:
-                src, tgt, ib = (jnp.asarray(src), jnp.asarray(tgt),
-                                jnp.asarray(ib))
+                src, tgt, ib = (train_windows.src[sel],
+                                train_windows.tgt[sel],
+                                train_windows.ib[sel])
+                if place_batch is not None:
+                    src, tgt, ib = place_batch(src, tgt, ib)
+                else:
+                    src, tgt, ib = (jnp.asarray(src), jnp.asarray(tgt),
+                                    jnp.asarray(ib))
             params, opt_state, stats = train_step(
                 params, opt_state, src, tgt, ib, step_key)
             acc.add(stats)
@@ -329,7 +325,6 @@ def train(case: CaseConfig,
         if epoch % tcfg.validation_interval == 0 or epoch == n_epochs:
             vacc = M.StatsAccumulator()
             if val_resident is not None:
-                from sea_tpu.data.datasets import padded_batch_index_iterator
                 for idx, n_valid in padded_batch_index_iterator(
                         len(td.val.src), tcfg.eval_batch_size):
                     src, tgt, ib = _gather(val_resident, jnp.asarray(idx))

@@ -16,7 +16,8 @@ run() {
   local tag="$1"; shift
   echo "=== [$tag] $*  ($(date -u +%H:%M:%S))" | tee -a /tmp/tpu_queue.log
   "$@" 2>&1 | tee "/tmp/q_${tag}.log" | tail -20
-  echo "=== [$tag] exit=$? ($(date -u +%H:%M:%S))" | tee -a /tmp/tpu_queue.log
+  local rc=${PIPESTATUS[0]}  # the benchmark's status, not tail's
+  echo "=== [$tag] exit=$rc ($(date -u +%H:%M:%S))" | tee -a /tmp/tpu_queue.log
 }
 
 # 1) Shadow-policy train step vs the measured bf16_mixed 21.3 ms / 45.7%.
