@@ -116,7 +116,20 @@ def main(argv=None):
                         help="train modes: AdamW first-moment storage dtype "
                              "(TrainConfig.adam_mu_dtype); bf16 halves the "
                              "first-moment HBM traffic")
+    parser.add_argument("--platform", choices=["default", "cpu", "tpu"],
+                        default="default",
+                        help="force the JAX backend before any device "
+                             "access. Unlike the JAX_PLATFORMS env var "
+                             "(which launcher environments may rewrite to "
+                             "'tpu,cpu' priority lists), this pins exactly "
+                             "one backend — e.g. --platform cpu keeps a "
+                             "smoke run off an unreachable TPU tunnel")
     args = parser.parse_args(argv)
+    if args.platform != "default":
+        # Must precede initialize_multihost()/mesh resolution: the first
+        # backend initialization is sticky for the process.
+        import jax
+        jax.config.update("jax_platforms", args.platform)
     if args.batch_size is not None and args.batch_size < 1:
         parser.error(f"--batch_size must be >= 1; got {args.batch_size}")
     if (args.compute_dtype or args.batch_size is not None

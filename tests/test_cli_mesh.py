@@ -179,3 +179,17 @@ def test_cli_train_recipe_flags(tmp_path, capsys):
         cli.main(["cylinder_flow_smoke", "temporal", "train", "--synthetic",
                   "--save_dir", save, "--batch_size", "0"])
     assert "--batch_size" in capsys.readouterr().err
+
+
+def test_cli_platform_flag(tmp_path):
+    """--platform pins the JAX backend before any device access (the
+    JAX_PLATFORMS env route can be rewritten to a priority list by
+    launcher environments; jax.config.update is authoritative). In this
+    suite the backend is already cpu, so --platform cpu must train
+    cleanly and leave the backend on cpu."""
+    cli.main(["cylinder_flow_smoke", "encoder", "train", "--synthetic",
+              "--epochs", "1", "--save_dir", str(tmp_path),
+              "--mesh", "none", "--platform", "cpu"])
+    assert jax.default_backend() == "cpu"
+    assert os.path.exists(
+        os.path.join(str(tmp_path), "encoder_decoder_cylinder_flow_run1.npz"))
