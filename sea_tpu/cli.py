@@ -116,6 +116,11 @@ def main(argv=None):
                         help="train modes: AdamW first-moment storage dtype "
                              "(TrainConfig.adam_mu_dtype); bf16 halves the "
                              "first-moment HBM traffic")
+    parser.add_argument("--profile", default=None, metavar="DIR",
+                        help="train modes: capture a jax.profiler device "
+                             "trace (TensorBoard/Perfetto) of one steady-"
+                             "state training epoch into DIR — the tool for "
+                             "chasing MFU (BASELINE.md methodology)")
     parser.add_argument("--platform", choices=["default", "cpu", "tpu"],
                         default="default",
                         help="force the JAX backend before any device "
@@ -139,6 +144,8 @@ def main(argv=None):
     if args.seq_parallel and (args.model_type, args.mode) != \
             ("temporal", "train"):
         parser.error("--seq_parallel only applies to `temporal train`")
+    if args.profile and args.mode != "train":
+        parser.error("--profile only applies to train modes")
     if args.precision != "f32" and (args.model_type, args.mode) != \
             ("temporal", "test"):
         parser.error(
@@ -218,7 +225,8 @@ def main(argv=None):
                                        epochs=args.epochs,
                                        init_params=init_params,
                                        init_opt_state=init_opt,
-                                       precomputed=precomputed, mesh=mesh)
+                                       precomputed=precomputed, mesh=mesh,
+                                       profile_dir=args.profile)
             if case.spatial_train.final_save:
                 _final_save(case, "final_model_encoder", params)
         else:  # test
@@ -256,7 +264,8 @@ def main(argv=None):
                                         epochs=args.epochs,
                                         init_params=init_params,
                                         init_opt_state=init_opt,
-                                        mesh=mesh, seq_mesh=seq_mesh)
+                                        mesh=mesh, seq_mesh=seq_mesh,
+                                        profile_dir=args.profile)
             if case.temporal_train.final_save:
                 _final_save(case, "final_model_temporal", params)
         else:  # test

@@ -147,14 +147,17 @@ def train(case: CaseConfig,
           data=None, seed: int = 0,
           epochs: Optional[int] = None,
           init_params=None, init_opt_state=None, mesh=None,
-          precomputed: Optional[SpatialData] = None
+          precomputed: Optional[SpatialData] = None,
+          profile_dir: Optional[str] = None
           ) -> Tuple[Any, SpatialData]:
     """Returns (best params, data). ``epochs`` overrides the config (for
     quick end-to-end slices); ``init_params`` resumes from a checkpoint
     (reference load_pretrained, train_encoder.py:162-165); ``mesh`` runs
     the loop data-parallel over a device mesh (variational loss not
     supported on the sharded path yet); ``precomputed`` skips
-    process_data when the caller already ran it (resume paths)."""
+    process_data when the caller already ran it (resume paths);
+    ``profile_dir`` captures a jax.profiler device trace of one
+    steady-state epoch (epoch 2, past the compile — CLI: --profile)."""
     tracker = error_tracker or NoOpErrorTracker()
     tcfg = case.spatial_train
     sd = precomputed if precomputed is not None else process_data(case,
@@ -241,6 +244,9 @@ def train(case: CaseConfig,
         # per-batch device->host fence); one readback per epoch.
         acc = M.StatsAccumulator()
         last_stats = None
+        profiling = profile_dir and epoch == min(2, n_epochs)
+        if profiling:
+            jax.profiler.start_trace(profile_dir)
         for sel in batch_index_iterator(len(sd.train), batch_size,
                                         shuffle=True,
                                         seed=case.spatial_split.random_seed,
@@ -264,7 +270,10 @@ def train(case: CaseConfig,
                 f"snapshots" + (" (batch was rounded up for the device "
                                 "mesh; use a smaller --mesh data axis)"
                                 if mesh is not None else ""))
-        agg = acc.means()
+        agg = acc.means()  # single device->host readback fences the epoch
+        if profiling:
+            jax.profiler.stop_trace()
+            print(f"profiler trace (epoch {epoch}) written to {profile_dir}")
         train_metrics = {"Loss": agg["loss"],
                          "Recon_Loss": agg["recon_loss"],
                          "R2": agg["r2"],

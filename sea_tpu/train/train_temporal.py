@@ -170,7 +170,8 @@ def train(case: CaseConfig,
           epochs: Optional[int] = None,
           init_params=None, init_opt_state=None,
           save_artifacts: bool = True,
-          mesh=None, seq_mesh=None) -> Tuple[Any, TemporalData]:
+          mesh=None, seq_mesh=None,
+          profile_dir: Optional[str] = None) -> Tuple[Any, TemporalData]:
     """``mesh``: optional jax.sharding.Mesh — runs the whole loop
     data-parallel (batches sharded over the 'data' axis, attention weights
     over 'model'); same numerics as single-device (tests/test_parallel.py).
@@ -182,7 +183,11 @@ def train(case: CaseConfig,
     training: the TIME axis of every batch shards across the ring and all
     attention runs as ring attention (in-ring counter-hash dropout included,
     so the shipped recipes train unmodified). Mutually exclusive with
-    ``mesh``; requires dataset_src_len divisible by the ring size."""
+    ``mesh``; requires dataset_src_len divisible by the ring size.
+
+    ``profile_dir``: capture a jax.profiler device trace (TensorBoard/
+    Perfetto) of ONE steady-state epoch — epoch 2, past the compile —
+    into this directory (CLI: --profile)."""
     if mesh is not None and seq_mesh is not None:
         raise ValueError("pass either mesh (DP x TP) or seq_mesh "
                          "(sequence-parallel), not both")
@@ -281,6 +286,9 @@ def train(case: CaseConfig,
         # per-batch device->host fence); one readback per epoch.
         acc = M.StatsAccumulator()
         last_stats = None
+        profiling = profile_dir and epoch == min(2, n_epochs)
+        if profiling:
+            jax.profiler.start_trace(profile_dir)
         # One loop for both data paths (same index stream either way);
         # only batch construction differs. The host path slices just
         # src/tgt/ib — tgt_original (the largest array in the split) is
@@ -311,7 +319,10 @@ def train(case: CaseConfig,
                 f"windows" + (" (batch was rounded up for the device mesh; "
                               "use a smaller --mesh data axis or more data)"
                               if mesh is not None else ""))
-        agg = acc.means()
+        agg = acc.means()  # single device->host readback fences the epoch
+        if profiling:
+            jax.profiler.stop_trace()
+            print(f"profiler trace (epoch {epoch}) written to {profile_dir}")
         train_loss = agg["loss"]
         tracker.record_error("train", epoch, {
             "Loss": train_loss, "Grad_Norm": agg["grad_norm"],

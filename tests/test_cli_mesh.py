@@ -181,6 +181,20 @@ def test_cli_train_recipe_flags(tmp_path, capsys):
     assert "--batch_size" in capsys.readouterr().err
 
 
+def test_cli_profile_flag(tmp_path):
+    """--profile captures a jax.profiler trace of one steady-state epoch
+    (epoch 2) during training; rejected outside train modes."""
+    prof = tmp_path / "trace"
+    cli.main(["cylinder_flow_smoke", "encoder", "train", "--synthetic",
+              "--epochs", "2", "--save_dir", str(tmp_path),
+              "--mesh", "none", "--profile", str(prof)])
+    traces = list(prof.rglob("*.xplane.pb"))
+    assert traces, f"no xplane trace written under {prof}"
+    with pytest.raises(SystemExit):
+        cli.main(["cylinder_flow_smoke", "temporal", "test", "--synthetic",
+                  "--save_dir", str(tmp_path), "--profile", str(prof)])
+
+
 def test_cli_platform_flag(tmp_path):
     """--platform pins the JAX backend before any device access (the
     JAX_PLATFORMS env route can be rewritten to a priority list by
