@@ -210,7 +210,37 @@ def _hbm_peak_gbps():
     return f"{kind} (assuming v5e peak)", 819.0
 
 
+def _require_backend(timeout_s: float = 300.0):
+    """Fail loudly — with a JSON line — instead of hanging forever when the
+    device backend is unreachable (a wedged TPU tunnel hangs backend init
+    indefinitely; a bench that never prints is worse than one that reports
+    the outage). Probes jax.devices() on a daemon thread; on timeout emits
+    a single JSON line with value null and exits."""
+    import threading
+    got = {}
+
+    def probe():
+        try:
+            got["kind"] = jax.devices()[0].device_kind
+        except Exception as exc:  # backend errored rather than hung
+            got["err"] = repr(exc)
+
+    th = threading.Thread(target=probe, daemon=True)
+    th.start()
+    th.join(timeout_s)
+    if "kind" in got:
+        return got["kind"]
+    print(json.dumps({
+        "metric": "multiphase_250step_rollout_steps_per_sec_bf16w",
+        "value": None, "unit": "steps/sec/chip", "vs_baseline": None,
+        "error": got.get("err", f"device backend unreachable after "
+                                f"{timeout_s:.0f}s (TPU tunnel down?)"),
+    }))
+    sys.exit(0)
+
+
 def main():
+    _require_backend()
     # Persistent XLA compile cache: the bench is compile-bound on the
     # tunneled backend (7 rollout programs, ~2 min each first time) —
     # re-runs in the same round hit the cache and finish in ~2 min total.
