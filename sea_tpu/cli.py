@@ -68,7 +68,7 @@ def main(argv=None):
     parser.add_argument("flow_type",
                         help="e.g. cylinder_flow, multiphase_flow")
     parser.add_argument("model_type", choices=["encoder", "temporal"])
-    parser.add_argument("mode", choices=["train", "test"])
+    parser.add_argument("mode", choices=["train", "test", "generate"])
     parser.add_argument("--model_path", required=False,
                         help="checkpoint to load (test / continue-train)")
     parser.add_argument("--epochs", type=int, default=None,
@@ -116,6 +116,21 @@ def main(argv=None):
                         help="train modes: AdamW first-moment storage dtype "
                              "(TrainConfig.adam_mu_dtype); bf16 halves the "
                              "first-moment HBM traffic")
+    parser.add_argument("--horizon", type=int, default=None, metavar="H",
+                        help="`temporal generate`: number of rollout steps "
+                             "to simulate — NOT tied to any dataset window "
+                             "(conditioning beyond the data holds the "
+                             "trajectory's last ib value). Memory scales "
+                             "linearly in H (scan+KV engine, no [T,T] "
+                             "mask). Default: the dataset window length")
+    parser.add_argument("--trajectory", type=int, default=0, metavar="IDX",
+                        help="`temporal generate`: which test-split window "
+                             "provides the initial latent state and ib "
+                             "conditioning (default 0)")
+    parser.add_argument("--output", default=None, metavar="PATH",
+                        help="`temporal generate`: .npy path for the "
+                             "decoded fields [H, nodes, fields] (default "
+                             "{save_dir}/generated_{case}_{run}.npy)")
     parser.add_argument("--profile", default=None, metavar="DIR",
                         help="train modes: capture a jax.profiler device "
                              "trace (TensorBoard/Perfetto) of one steady-"
@@ -146,12 +161,22 @@ def main(argv=None):
         parser.error("--seq_parallel only applies to `temporal train`")
     if args.profile and args.mode != "train":
         parser.error("--profile only applies to train modes")
-    if args.precision != "f32" and (args.model_type, args.mode) != \
-            ("temporal", "test"):
+    if args.mode == "generate" and args.model_type != "temporal":
+        parser.error("generate is a temporal (stage-2) serving mode")
+    if args.mode != "generate" and (args.horizon is not None
+                                    or args.trajectory != 0
+                                    or args.output is not None):
+        parser.error("--horizon/--trajectory/--output only apply to "
+                     "`temporal generate`")
+    if args.horizon is not None and args.horizon < 1:
+        parser.error(f"--horizon must be >= 1; got {args.horizon}")
+    if args.precision != "f32" and not (
+            args.model_type == "temporal"
+            and args.mode in ("test", "generate")):
         parser.error(
             f"--precision {args.precision} only applies to `temporal test` "
-            "(rollout serving); training always runs the configured "
-            "compute_dtype policy")
+            "and `temporal generate` (rollout serving); training always "
+            "runs the configured compute_dtype policy")
 
     # Multi-host (pod / multi-slice) init must precede any device access;
     # no-ops on single-process runs (parallel/multihost.py).
@@ -268,7 +293,7 @@ def main(argv=None):
                                         profile_dir=args.profile)
             if case.temporal_train.final_save:
                 _final_save(case, "final_model_temporal", params)
-        else:  # test
+        else:  # test / generate (serving modes; shared load + precision)
             import jax
             from sea_tpu.models.temporal import init_temporal
             from sea_tpu.train.evaluate import (
@@ -308,6 +333,24 @@ def main(argv=None):
             cache_dtype = (jnp.bfloat16 if args.precision == "int4"
                            else jnp.float32)
             from sea_tpu.rollout.engine import is_scan_incremental
+            if args.mode == "generate":
+                import os
+                import numpy as np
+                from sea_tpu.train.evaluate import generate_trajectory
+                out = args.output or os.path.join(
+                    case.run.save_dir,
+                    f"generated_{case.run.case_name}_{case.run.run_name}.npy")
+                fields = generate_trajectory(
+                    params, case, td.test, td.latent_service,
+                    td.mesh_processor, trajectory=args.trajectory,
+                    horizon=args.horizon, spatial_params=spatial_params,
+                    cache_dtype=cache_dtype)
+                os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
+                np.save(out, fields)
+                print(f"Generated {fields.shape[0]} steps x "
+                      f"{fields.shape[1]} nodes x {fields.shape[2]} fields "
+                      f"-> {out}")
+                return
             if mesh is not None and is_scan_incremental(tcfg):
                 # Explicit --mesh DxM: trajectories sharded over 'data',
                 # tensor-parallel params over 'model' (staged pipeline —
@@ -360,6 +403,10 @@ def _resolve_meshes(parser, args):
         if (args.model_type, args.mode) == ("temporal", "test") \
                 and spec not in ("auto", "none"):
             return parse_dxm(spec), None
+        if args.mode == "generate" and spec not in ("auto", "none"):
+            parser.error("--mesh sharding applies to train modes and "
+                         "`temporal test`; generate runs the single-device "
+                         "fused program")
         return None, None
     if args.seq_parallel:
         if spec not in ("auto", "none"):

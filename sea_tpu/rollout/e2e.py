@@ -55,6 +55,29 @@ def make_e2e_rollout_eval(tcfg: TemporalModelConfig,
             "mode incl. pool qualifies); use "
             "train.evaluate.full_autoregressive_evaluation, whose engine "
             "dispatches to the prefix-recompute fallback for these")
+    decode = make_decode_chain(scfg, part, sea_layout=sea_layout,
+                               scalers=scalers, field_groups=field_groups)
+
+    @jax.jit
+    def run(tparams, sparams, x0, ib, truth, tgt_lat):
+        preds = rollout_scan(tparams, tcfg, x0, ib,
+                             cache_dtype=cache_dtype)  # [B,T,G,E]
+        enc_rel = jnp.mean(M.relative_mse(preds.astype(jnp.float32),
+                                          tgt_lat))
+        fields = decode(sparams, preds)  # [B,T,N,F]
+        rel = M.relative_mse_with_time(fields, truth, axis=2)  # [B,T,F]
+        return fields, rel, enc_rel
+
+    return run
+
+
+def make_decode_chain(scfg: SpatialModelConfig, part: PartitionIndex, *,
+                      sea_layout: str = "isolate",
+                      scalers=None, field_groups=None):
+    """Traced latents->fields tail shared by the fused eval and the
+    generate engine: layout shuttle -> frozen stage-1 decode -> device
+    un-patch -> inverse min-max scale (folded in as per-field affine
+    constants). Returns fn(sparams, preds [B,T,G,E]) -> [B,T,N,F]."""
     P = part.num_patches
     C = part.cells_per_patch
     D = scfg.embed_dim
@@ -75,13 +98,8 @@ def make_e2e_rollout_eval(tcfg: TemporalModelConfig,
     a = jnp.asarray(a)
     b = jnp.asarray(b)
 
-    @jax.jit
-    def run(tparams, sparams, x0, ib, truth, tgt_lat):
-        B, T = ib.shape[0], ib.shape[1]
-        preds = rollout_scan(tparams, tcfg, x0, ib,
-                             cache_dtype=cache_dtype)  # [B,T,G,E]
-        enc_rel = jnp.mean(M.relative_mse(preds.astype(jnp.float32),
-                                          tgt_lat))
+    def decode(sparams, preds):
+        B, T = preds.shape[0], preds.shape[1]
         lat = preds.reshape(B * T, G, P, D).transpose(0, 2, 1, 3)
         dec = spatial_decode(sparams, scfg, lat)  # [B*T, P, F, C]
         if sea_layout == "isolate":
@@ -89,8 +107,41 @@ def make_e2e_rollout_eval(tcfg: TemporalModelConfig,
         else:  # mixed
             dec = dec.reshape(B * T, P, C, dec.shape[2])
         fields = unpatchify_jax(part, dec).reshape(B, T, num_nodes, -1)
-        fields = fields.astype(jnp.float32) * a + b  # inverse min-max scale
-        rel = M.relative_mse_with_time(fields, truth, axis=2)  # [B,T,F]
-        return fields, rel, enc_rel
+        return fields.astype(jnp.float32) * a + b  # inverse min-max scale
+
+    return decode
+
+
+def make_generate(tcfg: TemporalModelConfig, scfg: SpatialModelConfig,
+                  part: PartitionIndex, *,
+                  sea_layout: str = "isolate",
+                  scalers=None, field_groups=None,
+                  cache_dtype=jnp.float32):
+    """Arbitrary-horizon SURROGATE SIMULATION: one compiled program from
+    an initial latent state to H decoded physical-field snapshots — no
+    ground truth involved, so the horizon is not tied to any dataset
+    window (the capability the reference's eval-only rollout lacks,
+    train_utils.py:186-312 always scores against a loader's targets).
+
+    Returns a jitted fn(tparams, sparams, x0 [B,G,E],
+    ib [B,H,ib_num]) -> fields [B,H,N,F]: prediction k is the state at
+    time k+1, decoded through the frozen stage-1 decoder, un-patched and
+    un-scaled on device. H is set by ib's length; the scan+KV engine has
+    no materialized [T,T] mask, so memory scales linearly in H.
+    """
+    from sea_tpu.rollout.engine import is_scan_incremental
+    if not is_scan_incremental(tcfg):
+        raise ValueError(
+            "generate requires a scan-incremental config (no attention "
+            "ib-conditioning, src_len == 0); prefix-recompute has no "
+            "horizon-unbounded form")
+    decode = make_decode_chain(scfg, part, sea_layout=sea_layout,
+                               scalers=scalers, field_groups=field_groups)
+
+    @jax.jit
+    def run(tparams, sparams, x0, ib):
+        preds = rollout_scan(tparams, tcfg, x0, ib,
+                             cache_dtype=cache_dtype)  # [B,H,G,E]
+        return decode(sparams, preds)
 
     return run

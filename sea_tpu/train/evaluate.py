@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import csv
 import os
-from typing import Any, Dict
+from typing import Any, Dict, Optional
 
 import jax.numpy as jnp
 import numpy as np
@@ -212,6 +212,41 @@ def fused_autoregressive_evaluation(params, case: CaseConfig, windows,
     return {"encoded_rel_mse": float(enc_rel),
             "decoded_rel_mse": decoded_rel_mse,
             "decoded_rel_mse_per_time": per_time}
+
+
+def generate_trajectory(params, case: CaseConfig, windows,
+                        latent_service: LatentService,
+                        mesh_processor: MeshProcessor, *,
+                        trajectory: int = 0,
+                        horizon: Optional[int] = None,
+                        spatial_params=None,
+                        cache_dtype=jnp.float32) -> np.ndarray:
+    """Arbitrary-horizon surrogate SIMULATION (no ground truth): roll the
+    temporal model ``horizon`` steps from a test window's initial latent
+    state and decode to physical fields [H, N, F] in one compiled program
+    (rollout/e2e.make_generate). Beyond the window's length the ib
+    conditioning holds its last value — the shipped cases condition on
+    per-trajectory constants (e.g. Reynolds number). The reference has no
+    generation surface at all; its rollout exists only inside evaluation
+    against a loader's targets (train_utils.py:186-312)."""
+    from sea_tpu.rollout.e2e import make_generate
+    n = len(windows.src)
+    if not 0 <= trajectory < n:
+        raise ValueError(f"trajectory index {trajectory} out of range "
+                         f"(the test split has {n} windows)")
+    gen = make_generate(
+        case.temporal, latent_service.cfg, mesh_processor.partition,
+        sea_layout=case.run.sea_layout, scalers=mesh_processor.scalers,
+        field_groups=mesh_processor.field_groups, cache_dtype=cache_dtype)
+    sparams = spatial_params if spatial_params is not None \
+        else latent_service.params
+    x0 = jnp.asarray(windows.src[trajectory, 0])[None]  # [1, G, E]
+    ib = np.asarray(windows.ib[trajectory])  # [T, ib_num]
+    H = horizon if horizon is not None else ib.shape[0]
+    ib_h = ib[:H] if H <= ib.shape[0] else np.concatenate(
+        [ib, np.repeat(ib[-1:], H - ib.shape[0], axis=0)], axis=0)
+    fields = gen(params, sparams, x0, jnp.asarray(ib_h)[None])
+    return np.asarray(fields[0])  # [H, N, F]
 
 
 def test_encoder_decoder(spatial_params, case: CaseConfig, tokens,

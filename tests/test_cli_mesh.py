@@ -181,6 +181,33 @@ def test_cli_train_recipe_flags(tmp_path, capsys):
     assert "--batch_size" in capsys.readouterr().err
 
 
+def test_cli_generate_mode(tmp_path):
+    """`temporal generate`: arbitrary-horizon surrogate simulation from
+    the CLI — horizon past the dataset window (ib tail held), decoded
+    fields written to --output; generate-only flags rejected elsewhere."""
+    import numpy as np
+    save = str(tmp_path)
+    cli.main(["cylinder_flow_smoke", "encoder", "train", "--synthetic",
+              "--epochs", "1", "--save_dir", save, "--mesh", "none"])
+    cli.main(["cylinder_flow_smoke", "temporal", "train", "--synthetic",
+              "--epochs", "1", "--save_dir", save, "--mesh", "none"])
+    out = os.path.join(save, "gen.npy")
+    cli.main(["cylinder_flow_smoke", "temporal", "generate", "--synthetic",
+              "--save_dir", save, "--horizon", "55", "--output", out])
+    fields = np.load(out)
+    assert fields.ndim == 3 and fields.shape[0] == 55
+    assert np.isfinite(fields).all()
+    with pytest.raises(SystemExit):
+        cli.main(["cylinder_flow_smoke", "temporal", "test", "--synthetic",
+                  "--save_dir", save, "--horizon", "10"])
+    with pytest.raises(SystemExit):
+        cli.main(["cylinder_flow_smoke", "encoder", "generate",
+                  "--synthetic", "--save_dir", save])
+    with pytest.raises(SystemExit):
+        cli.main(["cylinder_flow_smoke", "temporal", "generate",
+                  "--synthetic", "--save_dir", save, "--mesh", "2x2"])
+
+
 def test_cli_profile_flag(tmp_path):
     """--profile captures a jax.profiler trace of one steady-state epoch
     (epoch 2) during training; rejected outside train modes."""

@@ -94,3 +94,59 @@ def test_on_device_eval_matches_staged_pipeline(tmp_path, scaled, exchange):
     assert np.isfinite(fused_bf16["decoded_rel_mse"])
     assert abs(fused_bf16["decoded_rel_mse"] - staged["decoded_rel_mse"]) \
         <= 0.05 * (abs(staged["decoded_rel_mse"]) + 1e-6)
+
+
+def test_generate_matches_eval_and_extends(tmp_path):
+    """generate_trajectory == the fused eval's decoded fields at the
+    window horizon; a LONGER horizon (ib tail held) reproduces those
+    first T steps exactly (causality) and stays finite beyond them."""
+    fields, coords, ib = cylinder_like(tr=2, T=9, n_nodes=150)
+    tr, T, N, F = fields.shape
+    mesh_cfg = MeshConfig(m=3, n=3)
+    mp = MeshProcessor(mesh_cfg, [[0, 1], [2]], coords,
+                       save_dir=str(tmp_path))
+    _, patched = mp.patchify_and_scale(fields.reshape(tr * T, N, F))
+    tokens = apply_sea_layout(patched, "isolate")
+    scfg = SpatialModelConfig(field_groups=((0, 1), (2,)), mlp_hidden=8,
+                              num_layers=1, embed_dim=4, n_heads=2,
+                              block_size=32).with_n_inp(mp.cells_per_patch)
+    sparams = init_spatial(jax.random.PRNGKey(0), scfg)
+    svc = LatentService(scfg, sparams)
+    lat = transform_latents_to_temporal(svc.encode_dataset(tokens), tr, T,
+                                        mp.num_patches, 2)
+    tcfg = TemporalModelConfig(num_layers=1, embed_dim=16, n_heads=2,
+                               block_size=32, scale_ratio=2, num_fields=2,
+                               down_proj=2, dropout=0.0,
+                               exchange_mode="sea", ib_scale_mode="mlp",
+                               ib_addition_mode="add", ln_type="adaln")
+    tparams = init_temporal(jax.random.PRNGKey(1), tcfg)
+    windows = make_temporal_windows(lat, fields, ib, src_len=T - 1)
+    case = CaseConfig(mesh=mesh_cfg, spatial=scfg, temporal=tcfg,
+                      run=RunConfig(save_dir=str(tmp_path)))
+
+    run = make_e2e_rollout_eval(tcfg, scfg, mp.partition,
+                                scalers=mp.scalers,
+                                field_groups=mp.field_groups)
+    decoded, _, _ = run(tparams, sparams, jnp.asarray(windows.src[:, 0]),
+                        jnp.asarray(windows.ib),
+                        jnp.asarray(windows.tgt_original),
+                        jnp.asarray(windows.tgt))
+
+    from sea_tpu.train.evaluate import generate_trajectory
+    H = windows.ib.shape[1]
+    gen = generate_trajectory(tparams, case, windows, svc, mp,
+                              trajectory=1)
+    np.testing.assert_allclose(gen, np.asarray(decoded[1]),
+                               rtol=1e-5, atol=1e-6)
+    # Horizon past the data: first H steps identical, tail finite.
+    gen_long = generate_trajectory(tparams, case, windows, svc, mp,
+                                   trajectory=1, horizon=H + 6)
+    assert gen_long.shape[0] == H + 6
+    np.testing.assert_allclose(gen_long[:H], gen, rtol=1e-5, atol=1e-6)
+    assert np.isfinite(gen_long).all()
+    # Horizon inside the data: a prefix of the full run.
+    gen_short = generate_trajectory(tparams, case, windows, svc, mp,
+                                    trajectory=1, horizon=3)
+    np.testing.assert_allclose(gen_short, gen[:3], rtol=1e-5, atol=1e-6)
+    with pytest.raises(ValueError):
+        generate_trajectory(tparams, case, windows, svc, mp, trajectory=9)
