@@ -51,7 +51,11 @@ INT8_DRIFT = {"decoded_rel_mse_rel_change": -0.000525,
 # per-matmul noise (tests/test_utils.py analytic bound) largely washes
 # out in the end metric — decoded rel-MSE -0.88%, latent rel-L2 4.6%,
 # just inside the 5% budget. Serve int4 only after re-measuring drift
-# on YOUR trained weights.
+# on YOUR trained weights. (Measured on the pre-kernel path; the round-3
+# Pallas kernel + qkv/kv fusion keep the identical [-7,7] grid and
+# per-output-column scales — equality-tested in tests/test_rollout.py —
+# and upgrade the big-mat accumulation from bf16 to f32, so these
+# bounds remain conservative.)
 INT4_DRIFT = {"decoded_rel_mse_rel_change": -0.00882,
               "latent_rollout_rel_l2": 0.045871}
 # Same-chip architecture A/B (tools/bench_scan_vs_prefix.py, round 3):
@@ -76,19 +80,25 @@ def bench_rollout(cfg, steps, *, dtype: str, key_base: int):
     from sea_tpu.models.temporal import init_temporal
     from sea_tpu.rollout.engine import rollout_scan
     from sea_tpu.utils.precision import (cast_weights_bf16,
+                                         fuse_attention_projections,
                                          quantize_weights_int4,
                                          quantize_weights_int8)
 
     params = init_temporal(jax.random.PRNGKey(0), cfg)
+    # Reduced-precision serving also fuses the attention projections
+    # (qkv/kv) — fewer matvec dispatches per rollout step. f32 stays
+    # unfused: it is the reference-numerics parity anchor.
     if dtype == "bf16":
-        params = cast_weights_bf16(params)
+        params = cast_weights_bf16(fuse_attention_projections(params))
     elif dtype == "int8":
-        params = quantize_weights_int8(params)
+        params = quantize_weights_int8(fuse_attention_projections(params))
     elif dtype == "int4":
-        params = quantize_weights_int4(params)
+        params = quantize_weights_int4(fuse_attention_projections(params))
 
     def nbytes(x):
-        # int4 arrays report itemsize 1; XLA stores them packed 2/byte.
+        # int4 params are packed-nibble uint8 (w_p4): size already counts
+        # bytes. (Guard kept for any stray native-S4 leaf: itemsize
+        # reports 1 but XLA stores 2 nibbles/byte.)
         if x.dtype == jnp.int4:
             return (x.size + 1) // 2
         return x.size * x.dtype.itemsize
@@ -305,7 +315,8 @@ def main():
         "multiphase_int8w": round(mp_int8, 3),
         "multiphase_int8w_vs_baseline": ratio(mp_int8, mp_ref),
         "int8w_drift_on_trained_weights": INT8_DRIFT,
-        # Serving-mode int4 (native jnp.int4, packed 2/byte in HBM).
+        # Serving-mode int4 (packed-nibble uint8, 2/byte in HBM;
+        # Pallas dequant-matvec kernel on the MLP matrices).
         "multiphase_int4w": round(mp_int4, 3),
         "multiphase_int4w_vs_baseline": ratio(mp_int4, mp_ref),
         "int4w_drift_on_trained_weights": INT4_DRIFT,

@@ -310,17 +310,26 @@ def main(argv=None):
                                           kind="temporal")
             # --precision applies END-TO-END: the temporal rollout AND the
             # frozen stage-1 decoder run reduced-precision weights.
+            # Single-chip reduced-precision serving also fuses the temporal
+            # attention projections (qkv/kv) — fewer matvec dispatches per
+            # rollout step; TP shards q/k/v per head, so the sharded path
+            # keeps the unfused layout (utils.precision docstring).
             spatial_params = None
             if args.precision == "bf16":
-                from sea_tpu.utils.precision import cast_weights_bf16
-                params = cast_weights_bf16(params)
-                spatial_params = cast_weights_bf16(td.latent_service.params)
+                from sea_tpu.utils import precision as prec
+                if mesh is None:
+                    params = prec.fuse_attention_projections(params)
+                params = prec.cast_weights_bf16(params)
+                spatial_params = prec.cast_weights_bf16(
+                    td.latent_service.params)
                 print("Serving precision: bf16 weights (rollout + decode)")
             elif args.precision in ("int8", "int4"):
                 from sea_tpu.utils import precision as prec
                 quantize = (prec.quantize_weights_int8
                             if args.precision == "int8"
                             else prec.quantize_weights_int4)
+                if mesh is None:
+                    params = prec.fuse_attention_projections(params)
                 params = quantize(params)
                 spatial_params = quantize(td.latent_service.params)
                 print(f"Serving precision: {args.precision} weights "

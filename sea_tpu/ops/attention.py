@@ -49,6 +49,29 @@ def _split_heads(x, n_heads):
     return x.reshape(B, T, n_heads, C // n_heads)
 
 
+def _project_qkv(params, x_q, x_kv):
+    """q/k/v projections, honoring the fused serving layouts produced by
+    utils.precision.fuse_attention_projections: "qkv" (self-attention —
+    requires x_q and x_kv to be the SAME tensor) or "kv" (shared
+    key/value input). One matmul dispatch instead of three/two; the
+    per-output-column math is identical to the unfused projections."""
+    if "qkv" in params:
+        if x_q is not x_kv:
+            raise ValueError(
+                "fused 'qkv' projections are only valid for self-attention "
+                "(query and key/value inputs must be the same tensor); "
+                "cross-attention params should carry fused 'kv' instead "
+                "(utils.precision.fuse_attention_projections)")
+        return jnp.split(linear(params["qkv"], x_q), 3, axis=-1)
+    q = linear(params["q"], x_q)
+    if "kv" in params:
+        k, v = jnp.split(linear(params["kv"], x_kv), 2, axis=-1)
+    else:
+        k = linear(params["k"], x_kv)
+        v = linear(params["v"], x_kv)
+    return q, k, v
+
+
 def attention_core(q, k, v, *, causal: bool, src_len: int = 0,
                    dropout_rate: float = 0.0, dropout_key=None,
                    deterministic: bool = True):
@@ -92,9 +115,10 @@ def mha(params, x_q, x_kv, *, n_heads: int, causal: bool, rope: bool,
     with jax.lax.ppermute; parallel/ring_attention.py).
     """
     B, Tq, C = x_q.shape
-    q = _split_heads(linear(params["q"], x_q), n_heads)
-    k = _split_heads(linear(params["k"], x_kv), n_heads)
-    v = _split_heads(linear(params["v"], x_kv), n_heads)
+    q, k, v = _project_qkv(params, x_q, x_kv)
+    q = _split_heads(q, n_heads)
+    k = _split_heads(k, n_heads)
+    v = _split_heads(v, n_heads)
 
     if rope:
         hd = C // n_heads
@@ -192,9 +216,10 @@ def mha_step(params, x_q_t, x_kv_t, cache, t, *, n_heads: int, rope: bool,
     """
     B, C = x_q_t.shape
     hd = C // n_heads
-    q = linear(params["q"], x_q_t).reshape(B, 1, n_heads, hd)
-    k = linear(params["k"], x_kv_t).reshape(B, 1, n_heads, hd)
-    v = linear(params["v"], x_kv_t).reshape(B, 1, n_heads, hd)
+    q, k, v = _project_qkv(params, x_q_t, x_kv_t)
+    q = q.reshape(B, 1, n_heads, hd)
+    k = k.reshape(B, 1, n_heads, hd)
+    v = v.reshape(B, 1, n_heads, hd)
 
     if rope:
         pos = jnp.full((1,), t, dtype=jnp.int32)

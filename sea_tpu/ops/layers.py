@@ -56,7 +56,13 @@ def init_linear(key, d_in: int, d_out: int, *, bias: bool = True,
 
 
 def linear(params, x):
-    if "w_q" in params:
+    if "w_p4" in params:
+        # int4 weight-only serving path (utils.precision.
+        # quantize_weights_int4): packed-nibble Pallas matvec on TPU for
+        # serving shapes, jnp dequant + XLA dot otherwise.
+        from sea_tpu.ops.quant_matmul import int4_matmul
+        y = int4_matmul(x, params["w_p4"], params["w_s"])
+    elif "w_q" in params:
         # int8 weight-only serving path (utils.precision.
         # quantize_weights_int8): widen int8 -> bf16 in-register, f32
         # accumulation via the mixed-dtype dot, per-output-channel scale.

@@ -90,14 +90,16 @@ def replicate(mesh: Mesh, tree):
 
 def _tp_linear_spec(p, w_spec, b_spec):
     """Partition spec for one linear param dict, matching its actual keys:
-    plain {"w", "b"} or int8-quantized {"w_q", "w_s", "b"}
-    (utils.precision.quantize_weights_int8). The int8 weight shards like
-    the full weight; the per-output-channel scale follows the output dim."""
+    plain {"w", "b"}, int8-quantized {"w_q", "w_s", "b"}, or
+    int4-packed {"w_p4", "w_s", "b"} (utils.precision). Quantized
+    weights shard like the full weight — w_p4 packs two INPUT rows per
+    byte, so its [in/2, out] layout shards identically on either axis —
+    and the per-output-channel scale follows the output dim."""
     spec = {}
     if "w" in p:
         spec["w"] = w_spec
-    if "w_q" in p:
-        spec["w_q"] = w_spec
+    if "w_q" in p or "w_p4" in p:
+        spec["w_q" if "w_q" in p else "w_p4"] = w_spec
         # w_s is [out]: sharded iff the output dim is.
         spec["w_s"] = P(w_spec[1]) if len(w_spec) > 1 else P()
     if "b" in p:

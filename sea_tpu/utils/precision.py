@@ -30,24 +30,28 @@ def to_f32(tree):
     return cast_floating(tree, jnp.float32)
 
 
-def _quantize_weights(tree, min_size, quantize_leaf):
+def _quantize_weights(tree, min_size, quantize_leaf, q_key="w_q",
+                      extra_pred=None):
     """Shared walk for the weight-only quantizers: rewrite each big 2-D
     matmul weight (a ``{"w": [in, out], ...}`` linear param dict) to
-    ``{"w_q": int [in, out], "w_s": f32 [out], ...}``. Norms, biases,
-    embeddings, and anything small or non-matmul stay f32 (only dicts
-    that look like linear params are rewritten)."""
+    ``{q_key: quantized, "w_s": f32 [out], ...}`` — q_key is "w_q"
+    (int8 [in, out]) or "w_p4" (packed-nibble uint8 [in/2, out]).
+    Norms, biases, embeddings, and anything small or non-matmul stay f32
+    (only dicts that look like linear params are rewritten; extra_pred
+    can veto per-weight, e.g. odd input dims for nibble packing)."""
     def is_quantizable(node):
         w = node.get("w")
         return (w is not None and hasattr(w, "ndim") and w.ndim == 2
                 and w.size >= min_size
-                and jnp.issubdtype(w.dtype, jnp.floating))
+                and jnp.issubdtype(w.dtype, jnp.floating)
+                and (extra_pred is None or extra_pred(w)))
 
     def walk(node):
         if isinstance(node, dict):
             if is_quantizable(node):
                 q, s = quantize_leaf(node["w"].astype(jnp.float32))
                 out = {k: walk(v) for k, v in node.items() if k != "w"}
-                out["w_q"] = q
+                out[q_key] = q
                 out["w_s"] = s
                 return out
             return {k: walk(v) for k, v in node.items()}
@@ -76,39 +80,92 @@ def quantize_weights_int8(tree, min_size: int = 1 << 16):
 
 
 def quantize_weights_int4(tree, min_size: int = 1 << 16):
-    """Weight-only int4 (native ``jnp.int4`` storage — XLA packs two
-    nibbles per byte in HBM, halving the weight stream vs int8 again).
-    Same structure as int8: symmetric per-output-channel, range [-7, 7],
-    dequantized by the usual ``w_q.astype(bf16) * w_s`` inside
-    ops.layers.linear. The int4 grid is 16x coarser than int8's, so ALWAYS
-    measure drift on the trained weights first
-    (tools/measure_bf16_drift.py --dtype int4).
+    """Weight-only int4: packed-nibble uint8 storage — 0.5 byte/weight in
+    HBM, symmetric per-output-channel, range [-7, 7]. Each big linear
+    weight becomes {"w_p4": uint8 [in/2, out], "w_s": f32 [out]}
+    (ops/quant_matmul.pack_int4: two values along the INPUT dim per byte).
+    ops.layers.linear serves it through int4_matmul, which picks per call
+    between the Pallas dequant-matvec kernel (serving-shaped calls on big
+    matrices — ~1.3x over XLA's fused S4 dequant on the MLP matvecs that
+    dominate the B=1 rollout's weight stream, tools/bench_quant_matvec.py)
+    and an XLA-fused two-plane dequant dot (everything else; a kernel
+    dispatch per tiny matvec was measured slower — the cylinder rollout
+    regressed 8% all-kernel; threshold quant_matmul._KERNEL_MIN_ELEMS).
 
-    Two JAX-version quirks are worked around here: (1) the int4 convert
-    must run under jit (eager ``astype(int4)`` is unsupported); (2) on
-    TPU the S4 result must be produced directly in the PACKED layout
-    (``sub_byte_element_size_in_bits=4``) via an explicit out format —
-    a jit's default S4 output is byte-per-nibble, and the packed<->
-    unpacked relayout device_put recurses in this JAX version the moment
-    the array is passed to any other jitted function."""
-    def _convert(w):
+    uint8 deliberately replaces round-3's earlier native-jnp.int4 (S4)
+    storage: once the program also contains the Pallas kernel, XLA picks
+    S4 argument layouts that differ from the one pinned buffer layout the
+    S4 path could produce, and the packed<->unpacked S4 relayout
+    device_put recurses in this JAX version. Bytes in HBM are identical,
+    and uint8 params are trivially checkpointable and shardable.
+
+    The int4 grid is 16x coarser than int8's, so ALWAYS measure drift on
+    the trained weights first (tools/measure_bf16_drift.py --dtype int4).
+    """
+    from sea_tpu.ops.quant_matmul import pack_int4
+
+    @jax.jit
+    def leaf(w):
         s = jnp.max(jnp.abs(w), axis=0) / 7.0
         s = jnp.where(s == 0.0, 1.0, s)
-        q = jnp.clip(jnp.round(w / s), -7, 7).astype(jnp.int4)
-        return q, s
+        q = jnp.clip(jnp.round(w / s), -7, 7)
+        return pack_int4(q.astype(jnp.int8)), s
 
-    if jax.default_backend() == "tpu":
-        from jax._src.layout import Format, Layout
-        import jax.sharding as shd
-        sharding = shd.SingleDeviceSharding(jax.devices()[0])
-        packed = Format(Layout(major_to_minor=(0, 1),
-                               tiling=((8, 128), (8, 1)),
-                               sub_byte_element_size_in_bits=4), sharding)
-        default = Format(None, sharding)
-        leaf = jax.jit(_convert, out_shardings=(packed, default))
-    else:
-        leaf = jax.jit(_convert)
-    return _quantize_weights(tree, min_size, leaf)
+    def even_input_dim(w):
+        # odd input dims can't pack two nibbles per byte; leave them f32
+        # (no shipped config has one — all embed/down dims are even)
+        return w.shape[0] % 2 == 0
+
+    return _quantize_weights(tree, min_size, leaf, q_key="w_p4",
+                             extra_pred=even_input_dim)
+
+
+def fuse_attention_projections(temporal_params):
+    """Serving transform for TEMPORAL params: merge attention input
+    projections so the B=1 rollout issues fewer matvec dispatches per
+    step — q+k+v -> one "qkv" linear for self-attention (its query and
+    key/value streams are the same tensor) and k+v -> one "kv" linear
+    for the cross-attentions (k and v always share the key/value input).
+    ops.attention.mha/mha_step consume the fused entries and split the
+    output; per-output-column math is unchanged, so results match the
+    unfused params to roundoff (tests/test_rollout.py) and per-channel
+    quantization grids are IDENTICAL (w_s is per column).
+
+    Apply BEFORE cast_weights_bf16/quantize_weights_* so the fused
+    weight is cast/quantized as one matrix. Measured on the all-kernel
+    int4 cylinder rollout: ~26 -> ~18 matvecs/step (docs/ROUND3.md).
+
+    Single-chip serving only: head-parallel TP shards q/k/v on the head
+    axis, and a fused layout would hand each shard whole projections
+    instead of its own heads' slices (parallel/mesh._tp_attention_spec
+    keeps the unfused layout; the CLI's sharded serving path does not
+    fuse)."""
+    def fuse(att, keys, name):
+        merged = {"w": jnp.concatenate([att[k]["w"] for k in keys], axis=1)}
+        if "b" in att[keys[0]]:
+            merged["b"] = jnp.concatenate([att[k]["b"] for k in keys],
+                                          axis=0)
+        out = {k: v for k, v in att.items() if k not in keys}
+        out[name] = merged
+        return out
+
+    def fuse_list(lst, keys, name):
+        return [fuse_list(a, keys, name) if isinstance(a, list)
+                else (fuse(a, keys, name) if a is not None else None)
+                for a in lst]
+
+    out = dict(temporal_params)
+    blocks = []
+    for block in temporal_params["blocks"]:
+        b = dict(block)
+        b["self_attn"] = fuse_list(block["self_attn"], ("q", "k", "v"),
+                                   "qkv")
+        for key in ("cross_attn", "cross_attn_ib"):
+            if key in block and isinstance(block[key], list):
+                b[key] = fuse_list(block[key], ("k", "v"), "kv")
+        blocks.append(b)
+    out["blocks"] = blocks
+    return out
 
 
 # Short CLI/tool flag -> TrainConfig.compute_dtype policy name. Single

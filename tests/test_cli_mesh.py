@@ -101,8 +101,8 @@ def test_cli_fused_serving_with_precision(tmp_path, capsys):
     # Serving artifacts (CSV + plots) land under the save dir.
     assert os.path.exists(os.path.join(
         save, "rollout_error_cylinder_flow_run1.csv"))
-    # int4 serves through the same fused program (native jnp.int4
-    # weights as jit arguments — exercises the packed-layout path).
+    # int4 serves through the same fused program (packed-nibble w_p4
+    # storage, per-call kernel/XLA dispatch — utils/precision.py).
     cli.main(["cylinder_flow_smoke", "temporal", "test", "--synthetic",
               "--save_dir", save, "--precision", "int4"])
     out = capsys.readouterr().out

@@ -159,8 +159,9 @@ def test_sharded_rollout_int8_weights():
 @requires_8
 def test_sharded_rollout_int4_weights():
     """int4 serving composes with the TP specs the same way int8 does
-    (same w_q/w_s structure; on CPU the native-int4 leaves carry no
-    custom layout, so mesh placement is exercised directly)."""
+    (w_q/w_p4 + w_s structure, parallel/mesh._tp_linear_spec; on CPU the
+    quantized leaves carry no custom layout, so mesh placement is
+    exercised directly)."""
     from sea_tpu.utils.precision import quantize_weights_int4
     cfg = _tcfg()
     params = quantize_weights_int4(init_temporal(jax.random.PRNGKey(4), cfg),

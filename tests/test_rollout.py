@@ -190,3 +190,67 @@ def test_src_len_offset_dispatches_to_prefix_recompute():
     ref = rollout_prefix_recompute(params, cfg, x0, ib)
     got = rollout(params, cfg, x0, ib)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-6)
+
+
+@pytest.mark.parametrize("variant", [
+    {}, dict(num_fields=3),
+    dict(exchange_mode="pool", ln_type="ln", pool_update_method="mlp"),
+    dict(ib_addition_mode="attention"),  # cross_attn_ib gets fused kv
+])
+def test_fused_projections_match_unfused(variant):
+    """utils.precision.fuse_attention_projections (the single-chip
+    serving transform: self-attn q+k+v -> "qkv", cross-attn k+v -> "kv")
+    must not change the model: per-output-column math is identical, so
+    both the full forward and the scan rollout agree with the unfused
+    params to roundoff."""
+    from sea_tpu.utils.precision import fuse_attention_projections
+    cfg = _cfg(**variant)
+    params = init_temporal(jax.random.PRNGKey(30), cfg)
+    fused = fuse_attention_projections(params)
+    B, T = 2, 6
+    key = jax.random.PRNGKey(31)
+    x = jax.random.normal(key, (B, T, cfg.num_fields, cfg.embed_dim))
+    ib = jax.random.normal(jax.random.fold_in(key, 1), (B, T, cfg.ib_num))
+    ref = temporal_forward(params, cfg, x, ib)
+    got = temporal_forward(fused, cfg, x, ib)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+    if cfg.ib_addition_mode != "attention":  # scan needs incremental cfg
+        r_ref = rollout_scan(params, cfg, x[:, 0], ib)
+        r_got = rollout_scan(fused, cfg, x[:, 0], ib)
+        np.testing.assert_allclose(np.asarray(r_got), np.asarray(r_ref),
+                                   atol=1e-5)
+
+
+def test_fused_projections_quantized_rollout():
+    """Fusion composes with the weight-only quantizers: the per-channel
+    scales are per OUTPUT column, so quantize(fuse(p)) lands on exactly
+    the same int grid as quantize(p) and the rollouts agree to f32
+    accumulation-order noise."""
+    from sea_tpu.utils.precision import (fuse_attention_projections,
+                                         quantize_weights_int4,
+                                         quantize_weights_int8)
+    cfg = _cfg()
+    params = init_temporal(jax.random.PRNGKey(40), cfg)
+    x0 = jax.random.normal(jax.random.PRNGKey(41),
+                           (1, cfg.num_fields, cfg.embed_dim))
+    ib = jax.random.normal(jax.random.PRNGKey(42), (1, 5, cfg.ib_num))
+    for quant in (quantize_weights_int8, quantize_weights_int4):
+        ref = rollout_scan(quant(params, min_size=1), cfg, x0, ib)
+        got = rollout_scan(quant(fuse_attention_projections(params),
+                                 min_size=1), cfg, x0, ib)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-4)
+
+
+def test_fused_qkv_rejects_cross_inputs():
+    """"qkv" fusion is self-attention-only: distinct q and k/v inputs
+    must be rejected loudly (ops.attention._project_qkv)."""
+    from sea_tpu.ops.attention import init_attention, mha
+    from sea_tpu.utils.precision import fuse_attention_projections
+    att = init_attention(jax.random.PRNGKey(50), 16, 2)
+    fused = fuse_attention_projections(
+        {"blocks": [{"self_attn": [att]}]})["blocks"][0]["self_attn"][0]
+    x1 = jax.random.normal(jax.random.PRNGKey(51), (1, 4, 16))
+    x2 = jax.random.normal(jax.random.PRNGKey(52), (1, 4, 16))
+    with pytest.raises(ValueError, match="self-attention"):
+        mha(fused, x1, x2, n_heads=2, causal=False, rope=False)

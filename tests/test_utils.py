@@ -135,14 +135,22 @@ def test_int8_weight_quantization():
 
 
 def test_int4_weight_quantization():
-    """int4 mirrors int8 (native jnp.int4 storage, [-7, 7] grid) with a
-    proportionally looser error bound; linear() consumes w_q untouched."""
+    """int4 mirrors int8 ([-7, 7] grid) with a proportionally looser
+    error bound; storage is packed-nibble uint8 (w_p4, two input rows
+    per byte — utils/precision.py), consumed by linear() through
+    ops/quant_matmul.int4_matmul. Odd input dims stay unquantized (no
+    nibble pairing)."""
     from sea_tpu.ops.layers import init_linear, linear
     from sea_tpu.utils.precision import quantize_weights_int4
     key = jax.random.PRNGKey(0)
     p = init_linear(key, 512, 512)
     q = quantize_weights_int4({"lin": p}, min_size=512 * 512)["lin"]
-    assert q["w_q"].dtype == jnp.int4 and "w" not in q and "b" in q
+    assert (q["w_p4"].dtype == jnp.uint8 and q["w_p4"].shape == (256, 512)
+            and "w" not in q and "b" in q)
+    # odd input dim -> vetoed, weight left untouched
+    p_odd = init_linear(key, 513, 512)
+    q_odd = quantize_weights_int4({"lin": p_odd}, min_size=1)["lin"]
+    assert "w" in q_odd and "w_p4" not in q_odd
     x = jax.random.normal(jax.random.fold_in(key, 1), (3, 512))
     got = jax.jit(linear)(q, x)
     exact = linear(p, x)

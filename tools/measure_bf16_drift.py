@@ -77,10 +77,13 @@ def main():
                         "temporal_cylinder_flow_run1.npz")
     params = load_params(ckpt, template)
 
+    from sea_tpu.utils.precision import fuse_attention_projections
     reduce = {"int8": quantize_weights_int8,
               "int4": quantize_weights_int4,
               "bf16": cast_weights_bf16}[args.dtype]
-    params_bf16 = reduce(params)
+    # measure the exact single-chip serving configuration, which fuses
+    # the attention projections before the dtype transform (cli.py)
+    params_bf16 = reduce(fuse_attention_projections(params))
     # Measure the exact serving configuration: int4 serves with bf16 KV
     # caches (rollout/engine.rollout docstring), the rest with f32.
     cache_dtype = jnp.bfloat16 if args.dtype == "int4" else jnp.float32

@@ -53,11 +53,72 @@ def capture(case_name, dtype, impl, steps, logdir, batch=None,
         float(stats["loss"])
 
 
+def _summarize_xspace_direct(xspaces, steps):
+    """Direct XSpace parse — used when tensorboard_plugin_profile's
+    converter is broken in the image (its TF pywrap entry point drifts
+    between versions). Aggregates device self-time per HLO op from the
+    'XLA Ops' line of the TPU plane; categories come from the compiler's
+    own hlo_category stat, so the rollup matches the plugin's."""
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
+    ops = {}
+    for path in xspaces:
+        xs = xplane_pb2.XSpace()
+        with open(path, "rb") as fh:
+            xs.ParseFromString(fh.read())
+        for plane in xs.planes:
+            if not plane.name.startswith("/device:TPU"):
+                continue
+            smeta = plane.stat_metadata
+            emeta = plane.event_metadata
+            dur_id = next((i for i, m in smeta.items()
+                           if m.name == "device_duration_ps"), None)
+            for line in plane.lines:
+                if line.name != "XLA Ops":
+                    continue
+                for ev in line.events:
+                    m = emeta[ev.metadata_id]
+                    cat = src = ""
+                    for st in m.stats:
+                        n = smeta[st.metadata_id].name
+                        if n == "hlo_category":
+                            cat = st.str_value
+                        elif n == "source":
+                            src = st.str_value
+                    dur = ev.duration_ps
+                    for st in ev.stats:
+                        if dur_id is not None and st.metadata_id == dur_id:
+                            dur = st.uint64_value
+                    key = (m.display_name or m.name, cat, src)
+                    ops[key] = ops.get(key, 0) + dur
+    out = [{"op": k[0], "type": k[1], "source": k[2], "self_us": v / 1e6}
+           for k, v in ops.items()]
+    out.sort(key=lambda o: -o["self_us"])
+    total = sum(o["self_us"] for o in out)
+    cats = {}
+    for o in out:
+        cats[o["type"] or "other"] = (cats.get(o["type"] or "other", 0.0)
+                                      + o["self_us"])
+    print(json.dumps({
+        "total_device_us_per_step": round(total / max(steps, 1), 1),
+        "categories_pct": {k: round(100 * v / total, 1)
+                           for k, v in sorted(cats.items(),
+                                              key=lambda kv: -kv[1])},
+        "top_ops": [{"op": o["op"][:70], "type": o["type"],
+                     "src": o["source"].split("/")[-1],
+                     "pct": round(100 * o["self_us"] / total, 1),
+                     "us_per_step": round(o["self_us"] / max(steps, 1), 1)}
+                    for o in out[:18]],
+    }, indent=1))
+
+
 def summarize(logdir, steps):
-    from tensorboard_plugin_profile.convert import raw_to_tool_data
     xspaces = glob.glob(os.path.join(logdir, "**", "*.xplane.pb"),
                         recursive=True)
     assert xspaces, f"no xplane under {logdir}"
+    try:
+        from tensorboard_plugin_profile.convert import raw_to_tool_data
+    except Exception:
+        return _summarize_xspace_direct(xspaces, steps)
     data, _ = raw_to_tool_data.xspace_to_tool_data(
         xspaces, "framework_op_stats^", {"tqx": "out:csv;"})
     if isinstance(data, bytes):
