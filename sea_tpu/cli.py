@@ -116,6 +116,13 @@ def main(argv=None):
                         help="train modes: AdamW first-moment storage dtype "
                              "(TrainConfig.adam_mu_dtype); bf16 halves the "
                              "first-moment HBM traffic")
+    parser.add_argument("--optimizer", choices=["adamw", "adafactor"],
+                        default=None,
+                        help="train modes: optimizer family "
+                             "(TrainConfig.optimizer). adafactor factors "
+                             "the second moment and drops the first — "
+                             "near-zero optimizer-state HBM traffic, the "
+                             "big-model step's largest cost (BASELINE.md)")
     parser.add_argument("--horizon", type=int, default=None, metavar="H",
                         help="`temporal generate`: number of rollout steps "
                              "to simulate — NOT tied to any dataset window "
@@ -153,9 +160,10 @@ def main(argv=None):
     if args.batch_size is not None and args.batch_size < 1:
         parser.error(f"--batch_size must be >= 1; got {args.batch_size}")
     if (args.compute_dtype or args.batch_size is not None
-            or args.adam_mu_dtype) and args.mode != "train":
-        parser.error("--compute_dtype/--batch_size/--adam_mu_dtype only "
-                     "apply to train modes (serving precision is --precision)")
+            or args.adam_mu_dtype or args.optimizer) and args.mode != "train":
+        parser.error("--compute_dtype/--batch_size/--adam_mu_dtype/"
+                     "--optimizer only apply to train modes (serving "
+                     "precision is --precision)")
     if args.seq_parallel and (args.model_type, args.mode) != \
             ("temporal", "train"):
         parser.error("--seq_parallel only applies to `temporal train`")
@@ -189,7 +197,7 @@ def main(argv=None):
         case = case.replace(run=dataclasses.replace(case.run,
                                                     save_dir=args.save_dir))
     if args.compute_dtype or args.batch_size is not None \
-            or args.adam_mu_dtype:
+            or args.adam_mu_dtype or args.optimizer:
         # Recipe overrides for the stage being trained. Applied BEFORE
         # checkpoint-template construction: compute_dtype selects the
         # optimizer wrapper (bf16_shadow carries state), so the resume
@@ -206,6 +214,8 @@ def main(argv=None):
         if args.adam_mu_dtype:
             updates["adam_mu_dtype"] = ("bfloat16" if args.adam_mu_dtype
                                         == "bf16" else "float32")
+        if args.optimizer:
+            updates["optimizer"] = args.optimizer
         case = case.replace(**{stage: dataclasses.replace(tc, **updates)})
     data = _load_data(case, args.synthetic)
     if data is not None:

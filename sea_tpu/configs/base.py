@@ -225,6 +225,17 @@ class TrainConfig:
     # single cost of the big-model train step. "float32" (default)
     # matches the reference numerics exactly.
     adam_mu_dtype: str = "float32"  # "float32" | "bfloat16"
+    # Optimizer family. "adamw" (default) is the reference's optimizer
+    # (utils/train_utils.py:33-39). "adafactor" (optax, factored second
+    # moment, no first moment, update-RMS clipping 1.0, lr-scaled like
+    # Adam via multiply_by_parameter_scale=False) shrinks optimizer
+    # state from 2x params (f32 mu+nu) to ~(rows+cols) per matrix —
+    # on the 201M-param multiphase model that removes ~2.4 GB/step of
+    # update-pass HBM traffic, the largest single cost of the train
+    # step (BASELINE.md "Where the time goes"). Different training
+    # dynamics than AdamW: opt in per case, convergence-pinned in
+    # tests/test_features.py.
+    optimizer: str = "adamw"  # "adamw" | "adafactor"
     # Keep the TRAIN split resident in device HBM and gather minibatches
     # on-device (jnp.take with host-chosen indices) instead of slicing
     # host arrays and re-uploading every step. Identical batch order and

@@ -82,19 +82,41 @@ def make_optimizer(cfg: TrainConfig, *,
         lr = cfg.learning_rate
     else:
         raise ValueError(f"unknown scheduler {cfg.scheduler!r}")
-    # mu_dtype=bf16 halves the first-moment's HBM traffic. On the
-    # 201M-param multiphase model the AdamW update fusions are the
-    # largest single cost in the train step (4.9 ms/step at B=4, ~37% of
-    # device time, already at ~705 GB/s — BASELINE.md MFU rows), so
-    # moment bytes convert directly to step time. The second moment
-    # stays f32 (optax applies bias correction in f32 either way; nu's
-    # wide dynamic range is the numerically sensitive one). Convergence
-    # pinned by tests/test_features.py::test_bf16_mu_matches_f32_training.
-    mu_dtype = ("bfloat16" if getattr(cfg, "adam_mu_dtype", "float32")
-                == "bfloat16" else None)
-    tx = optax.adamw(learning_rate=lr, b1=cfg.betas[0], b2=cfg.betas[1],
-                     eps=cfg.eps, weight_decay=cfg.weight_decay,
-                     mu_dtype=mu_dtype)
+    family = getattr(cfg, "optimizer", "adamw")
+    if family == "adafactor":
+        # Factored second moment (outer product of row/col means for
+        # every matrix with both dims >= 128), no first moment, update
+        # RMS clipped at 1.0. multiply_by_parameter_scale=False keeps
+        # the step size = lr like Adam so the shipped learning rates
+        # transfer. Kills the optimizer-state HBM traffic that
+        # dominates the big-model train step (see TrainConfig.optimizer
+        # and BASELINE.md "Where the time goes"). weight_decay_rate is
+        # adafactor's multiplicative decay; both shipped configs use
+        # weight_decay=0 so None keeps parity there.
+        tx = optax.adafactor(
+            learning_rate=lr,
+            multiply_by_parameter_scale=False,
+            clipping_threshold=1.0,
+            momentum=None,
+            weight_decay_rate=(cfg.weight_decay
+                               if cfg.weight_decay else None))
+    elif family == "adamw":
+        # mu_dtype=bf16 halves the first-moment's HBM traffic. On the
+        # 201M-param multiphase model the AdamW update fusions are the
+        # largest single cost in the train step (4.9 ms/step at B=4, ~37%
+        # of device time, already at ~705 GB/s — BASELINE.md MFU rows), so
+        # moment bytes convert directly to step time. The second moment
+        # stays f32 (optax applies bias correction in f32 either way; nu's
+        # wide dynamic range is the numerically sensitive one). Convergence
+        # pinned by tests/test_features.py::test_bf16_mu_matches_f32_training.
+        mu_dtype = ("bfloat16" if getattr(cfg, "adam_mu_dtype", "float32")
+                    == "bfloat16" else None)
+        tx = optax.adamw(learning_rate=lr, b1=cfg.betas[0], b2=cfg.betas[1],
+                         eps=cfg.eps, weight_decay=cfg.weight_decay,
+                         mu_dtype=mu_dtype)
+    else:
+        raise ValueError(f"unknown optimizer {family!r} "
+                         "(expected 'adamw' or 'adafactor')")
     if getattr(cfg, "compute_dtype", "float32") == "bfloat16_shadow":
         tx = with_bf16_shadow(tx)
     return tx

@@ -151,14 +151,15 @@ def test_cli_train_recipe_flags(tmp_path, capsys):
     cli.main(["cylinder_flow_smoke", "temporal", "train", "--synthetic",
               "--epochs", "1", "--save_dir", save, "--mesh", "none",
               "--compute_dtype", "bf16_shadow", "--batch_size", "2",
-              "--adam_mu_dtype", "bf16"])
+              "--adam_mu_dtype", "bf16", "--optimizer", "adafactor"])
     assert os.path.exists(
         os.path.join(save, "temporal_cylinder_flow_run1.npz"))
     capsys.readouterr()
-    # Resume under the same recipe: the opt template includes the shadow.
+    # Resume under the same recipe: the opt template includes the shadow
+    # wrapper AND the adafactor state structure.
     cli.main(["cylinder_flow_smoke", "temporal", "train", "--synthetic",
               "--epochs", "1", "--save_dir", save, "--mesh", "none",
-              "--compute_dtype", "bf16_shadow",
+              "--compute_dtype", "bf16_shadow", "--optimizer", "adafactor",
               "--model_path",
               os.path.join(save, "temporal_cylinder_flow_run1.npz")])
     assert "Continuing training" in capsys.readouterr().out
@@ -234,3 +235,20 @@ def test_cli_platform_flag(tmp_path):
     assert jax.default_backend() == "cpu"
     assert os.path.exists(
         os.path.join(str(tmp_path), "encoder_decoder_cylinder_flow_run1.npz"))
+
+
+def test_python_dash_m_package_entry(capsys):
+    """`python -m sea_tpu ...` is the reference's `python main.py ...`
+    surface (main.py:42-47): the package __main__ delegates to cli.main."""
+    import runpy
+    import sys
+    argv = sys.argv
+    sys.argv = ["sea_tpu", "--help"]
+    try:
+        with pytest.raises(SystemExit) as e:
+            runpy.run_module("sea_tpu", run_name="__main__",
+                             alter_sys=False)
+        assert e.value.code in (0, None)
+    finally:
+        sys.argv = argv
+    assert "temporal" in capsys.readouterr().out

@@ -615,3 +615,100 @@ def test_bf16_shadow_checkpoint_roundtrip(tmp_path):
     rparams, ropt, stats = step(rparams, ropt, src, src * 0.5, ib,
                                 jax.random.PRNGKey(3))
     assert np.isfinite(float(stats["loss"]))
+
+
+def test_adafactor_train_step_converges_and_composes_with_shadow():
+    """TrainConfig.optimizer='adafactor' (factored second moment, no
+    first moment — the optimizer-state-HBM-traffic recipe): the temporal
+    train step converges, and composing it with
+    compute_dtype='bfloat16_shadow' keeps bf16 shadow leaves in the
+    state and still converges."""
+    import dataclasses
+    import jax
+    from sea_tpu.models.temporal import init_temporal
+    from sea_tpu.train.optim import ShadowOptState, make_optimizer
+    from sea_tpu.train.train_temporal import make_train_step
+    from sea_tpu.configs.base import TrainConfig
+
+    cfg = TemporalModelConfig(num_layers=1, embed_dim=16, n_heads=2,
+                              block_size=32, scale_ratio=2, num_fields=2,
+                              down_proj=2, dropout=0.0, exchange_mode="sea",
+                              ib_scale_mode="mlp", ib_addition_mode="add",
+                              ln_type="adaln")
+    key = jax.random.PRNGKey(1)
+    src = jax.random.normal(key, (2, 6, 2, 16))
+    tgt = src * 0.5
+    ib = jax.random.normal(jax.random.fold_in(key, 1), (2, 6, 1))
+
+    for policy in ("float32", "bfloat16_shadow"):
+        tcfg = dataclasses.replace(TrainConfig(learning_rate=3e-3),
+                                   optimizer="adafactor",
+                                   compute_dtype=policy)
+        tx = make_optimizer(tcfg)
+        params = init_temporal(jax.random.PRNGKey(0), cfg)
+        opt = tx.init(params)
+        if policy == "bfloat16_shadow":
+            assert isinstance(opt, ShadowOptState)
+            shadows = [l for l in jax.tree.leaves(opt.shadow)
+                       if hasattr(l, "dtype")]
+            assert shadows and all(l.dtype == jnp.bfloat16 for l in shadows)
+        step = make_train_step(cfg, tx, compute_dtype=policy)
+        losses = []
+        for i in range(25):
+            params, opt, stats = step(params, opt, src, tgt, ib,
+                                      jax.random.fold_in(key, 10 + i))
+            losses.append(float(stats["loss"]))
+            assert np.isfinite(losses[-1])
+        assert losses[-1] < losses[0] * 0.7, (policy, losses)
+        # Master params stay f32 under both policies.
+        assert all(l.dtype == jnp.float32 for l in jax.tree.leaves(params)
+                   if hasattr(l, "dtype") and jnp.issubdtype(l.dtype,
+                                                             jnp.floating))
+
+
+def test_adafactor_state_is_factored_and_checkpoints(tmp_path):
+    """Factoring engages on big matrices (row/col stats instead of a
+    full-shape nu) so the optimizer state is a tiny fraction of the
+    params, and the state round-trips through the npz checkpoint path
+    with an exact continuation."""
+    import dataclasses
+    import jax
+    from sea_tpu.models.temporal import init_temporal
+    from sea_tpu.train.optim import make_optimizer
+    from sea_tpu.train.train_temporal import make_train_step
+    from sea_tpu.configs.base import TrainConfig
+    from sea_tpu.utils.checkpoint import (load_full_checkpoint,
+                                          save_checkpoint)
+
+    tcfg = dataclasses.replace(TrainConfig(learning_rate=1e-3),
+                               optimizer="adafactor")
+    tx = make_optimizer(tcfg)
+
+    # Factoring check on a matrix past optax's min_dim_size_to_factor=128:
+    # second-moment storage collapses to v_row + v_col (+ a placeholder v).
+    big = {"w": jnp.zeros((256, 384), jnp.float32)}
+    st = tx.init(big)
+    n_state = sum(np.asarray(l).size for l in jax.tree.leaves(st))
+    assert n_state <= 256 + 384 + 8, n_state  # count + placeholders
+
+    # Full checkpoint round-trip on a real model + exact continuation.
+    cfg = TemporalModelConfig(num_layers=1, embed_dim=16, n_heads=2,
+                              num_fields=2, scale_ratio=2)
+    params = init_temporal(jax.random.PRNGKey(0), cfg)
+    opt = tx.init(params)
+    step = make_train_step(cfg, tx)
+    key = jax.random.PRNGKey(1)
+    src = jax.random.normal(key, (2, 6, 2, 16))
+    ib = jax.random.normal(jax.random.fold_in(key, 1), (2, 6, 1))
+    params, opt, _ = step(params, opt, src, src * 0.5, ib,
+                          jax.random.PRNGKey(2))
+
+    path = save_checkpoint(str(tmp_path), "temporal", "c", "r", params,
+                           opt_state=opt, meta={"epoch": 1})
+    rparams, ropt, _ = load_full_checkpoint(path, params, tx.init(params))
+    assert ropt is not None
+    assert jax.tree.structure(ropt) == jax.tree.structure(opt)
+    out_a = step(params, opt, src, src * 0.5, ib, jax.random.PRNGKey(3))
+    out_b = step(rparams, ropt, src, src * 0.5, ib, jax.random.PRNGKey(3))
+    for a, b in zip(jax.tree.leaves(out_a[:2]), jax.tree.leaves(out_b[:2])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -35,7 +35,7 @@ V5E_HBM_BPS = 819e9
 
 
 def build(case_name, impl, dtype, batch=None, log_norms=True,
-          mu_dtype="float32", remat=False):
+          mu_dtype="float32", remat=False, optimizer="adamw"):
     import dataclasses
     from sea_tpu.configs.base import TrainConfig
     from sea_tpu.train.optim import make_optimizer
@@ -56,7 +56,7 @@ def build(case_name, impl, dtype, batch=None, log_norms=True,
     policy = POLICY_BY_FLAG[dtype]
     tx = make_optimizer(dataclasses.replace(
         TrainConfig(learning_rate=8e-5), adam_mu_dtype=mu_dtype,
-        compute_dtype=policy))
+        compute_dtype=policy, optimizer=optimizer))
     step = make_train_step(cfg, tx, compute_dtype=policy,
                            log_norms=log_norms)
     return cfg, step, tx, B, T
@@ -80,6 +80,11 @@ def main():
     ap.add_argument("--mu", choices=["f32", "bf16"], default="f32",
                     help="AdamW first-moment dtype "
                          "(TrainConfig.adam_mu_dtype)")
+    ap.add_argument("--opt", choices=["adamw", "adafactor"],
+                    default="adamw",
+                    help="optimizer family (TrainConfig.optimizer); "
+                         "adafactor shrinks optimizer-state HBM traffic "
+                         "to ~zero (factored nu, no mu)")
     ap.add_argument("--remat", nargs="?", const="full",
                     choices=["full", "dots"], default=None,
                     help="rematerialize the temporal blocks in the bwd "
@@ -101,7 +106,8 @@ def main():
     cfg, step, tx, B, T = build(args.case, args.impl, args.dtype,
                                 batch=args.batch,
                                 log_norms=not args.no_norms,
-                                mu_dtype=mu_dtype, remat=args.remat)
+                                mu_dtype=mu_dtype, remat=args.remat,
+                                optimizer=args.opt)
     params = init_temporal(jax.random.PRNGKey(0), cfg)
     opt_state = tx.init(params)
 
@@ -132,9 +138,14 @@ def main():
             # the recompute). The timed step's bytes are kept.
             _fa.flash_supported = lambda *a, **k: False
             try:
+                # Must mirror the timed step's optimizer/mu exactly: the
+                # lowering reuses the SAME opt_state pytree, so a
+                # different optimizer family would fail to trace.
                 _, xla_step, _, _, _ = build(args.case, "xla", args.dtype,
                                              batch=args.batch,
-                                             log_norms=not args.no_norms)
+                                             log_norms=not args.no_norms,
+                                             mu_dtype=mu_dtype,
+                                             optimizer=args.opt)
                 flops, _ = cost_of(xla_step)  # keep the auto-step bytes
             finally:
                 # --impl xla must stay disabled through the TIMED loop
@@ -168,6 +179,7 @@ def main():
         "impl": args.impl,
         "dtype": args.dtype,
         "mu": args.mu,
+        "opt": args.opt,
         "remat": args.remat,
         "B": B, "T": T,
         "ms_per_step": round(dt * 1000, 2),

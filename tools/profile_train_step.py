@@ -26,7 +26,7 @@ import jax.numpy as jnp
 
 
 def capture(case_name, dtype, impl, steps, logdir, batch=None,
-            mu_dtype="float32"):
+            mu_dtype="float32", optimizer="adamw"):
     import sea_tpu.ops.flash_attention as _fa
     if impl == "xla":
         _fa.flash_supported = lambda *a, **k: False
@@ -34,7 +34,7 @@ def capture(case_name, dtype, impl, steps, logdir, batch=None,
     from sea_tpu.models.temporal import init_temporal
 
     cfg, step, tx, B, T = build(case_name, impl, dtype, batch=batch,
-                                mu_dtype=mu_dtype)
+                                mu_dtype=mu_dtype, optimizer=optimizer)
     params = init_temporal(jax.random.PRNGKey(0), cfg)
     opt_state = tx.init(params)
     key = jax.random.PRNGKey(1)
@@ -189,13 +189,17 @@ def main():
                     help="override batch size (bench_training.build)")
     ap.add_argument("--mu", choices=["f32", "bf16"], default="f32",
                     help="AdamW first-moment dtype")
+    ap.add_argument("--opt", choices=["adamw", "adafactor"],
+                    default="adamw",
+                    help="optimizer family (TrainConfig.optimizer)")
     ap.add_argument("--logdir", default=None,
                     help="keep the raw trace here (default: temp dir)")
     args = ap.parse_args()
     logdir = args.logdir or tempfile.mkdtemp(prefix="seatpu_prof_")
     capture(args.case, args.dtype, args.impl, args.steps, logdir,
             batch=args.batch,
-            mu_dtype="bfloat16" if args.mu == "bf16" else "float32")
+            mu_dtype="bfloat16" if args.mu == "bf16" else "float32",
+            optimizer=args.opt)
     summarize(logdir, args.steps)
 
 
