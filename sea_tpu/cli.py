@@ -3,7 +3,7 @@
 Mirror of reference main.py:
     python -m sea_tpu.cli <flow_type> {encoder,temporal} {train,test}
         [--model_path PATH] [--epochs N] [--synthetic]
-        [--mesh auto|none|DxM] [--seq_parallel N] [--precision ...]
+        [--mesh auto|none|DxM] [--seq_parallel N] [--pp S] [--precision ...]
 
 - flow_type selects a config module from sea_tpu.configs by name via
   importlib (main.py:23-38 behavior).
@@ -96,6 +96,21 @@ def main(argv=None):
                              "an N-device ring (ring attention with in-ring "
                              "dropout) — for windows that exceed one chip's "
                              "memory. Mutually exclusive with --mesh")
+    parser.add_argument("--pp", type=int, default=0, metavar="S",
+                        help="temporal train only: pipeline-parallel over S "
+                             "stages (GPipe microbatching over a 'pipe' "
+                             "mesh axis; parallel/pipeline.py) — for layer "
+                             "stacks that exceed one chip's HBM. Requires "
+                             "num_layers divisible by S; remaining devices "
+                             "join a 'data' axis. Mutually exclusive with "
+                             "--mesh/--seq_parallel")
+    parser.add_argument("--pp_microbatches", type=int, default=0,
+                        metavar="M",
+                        help="with --pp: GPipe microbatches per step "
+                             "(default = stage count S; the bubble fraction "
+                             "is (S-1)/(M+S-1), so larger M improves "
+                             "utilization while smaller M fits small "
+                             "batches)")
     parser.add_argument("--compute_dtype",
                         choices=["f32", "bf16", "bf16_mixed", "bf16_shadow"],
                         default=None,
@@ -167,6 +182,15 @@ def main(argv=None):
     if args.seq_parallel and (args.model_type, args.mode) != \
             ("temporal", "train"):
         parser.error("--seq_parallel only applies to `temporal train`")
+    if args.pp:
+        if (args.model_type, args.mode) != ("temporal", "train"):
+            parser.error("--pp only applies to `temporal train`")
+        if args.seq_parallel:
+            parser.error("--pp and --seq_parallel are mutually exclusive")
+        if args.pp < 2:
+            parser.error(f"--pp needs at least 2 stages; got {args.pp}")
+    if args.pp_microbatches and not args.pp:
+        parser.error("--pp_microbatches requires --pp")
     if args.profile and args.mode != "train":
         parser.error("--profile only applies to train modes")
     if args.mode == "generate" and args.model_type != "temporal":
@@ -190,7 +214,7 @@ def main(argv=None):
     # no-ops on single-process runs (parallel/multihost.py).
     from sea_tpu.parallel.multihost import initialize_multihost
     initialize_multihost()
-    mesh, seq_mesh = _resolve_meshes(parser, args)
+    mesh, seq_mesh, pipe_mesh = _resolve_meshes(parser, args)
 
     case = get_case(args.flow_type)
     if args.save_dir:
@@ -300,6 +324,8 @@ def main(argv=None):
                                         init_params=init_params,
                                         init_opt_state=init_opt,
                                         mesh=mesh, seq_mesh=seq_mesh,
+                                        pipe_mesh=pipe_mesh,
+                                        pipe_microbatches=args.pp_microbatches,
                                         profile_dir=args.profile)
             if case.temporal_train.final_save:
                 _final_save(case, "final_model_temporal", params)
@@ -398,7 +424,7 @@ def main(argv=None):
 
 
 def _resolve_meshes(parser, args):
-    """(mesh, seq_mesh) from --mesh / --seq_parallel.
+    """(mesh, seq_mesh, pipe_mesh) from --mesh / --seq_parallel / --pp.
 
     Train modes: 'auto' spans every visible device data-parallel when
     more than one is present — a v5e-8 user gets 8-way DP without flags
@@ -421,12 +447,12 @@ def _resolve_meshes(parser, args):
     if args.mode != "train":
         if (args.model_type, args.mode) == ("temporal", "test") \
                 and spec not in ("auto", "none"):
-            return parse_dxm(spec), None
+            return parse_dxm(spec), None, None
         if args.mode == "generate" and spec not in ("auto", "none"):
             parser.error("--mesh sharding applies to train modes and "
                          "`temporal test`; generate runs the single-device "
                          "fused program")
-        return None, None
+        return None, None, None
     if args.seq_parallel:
         if spec not in ("auto", "none"):
             # 'auto' is the flag default, so only an EXPLICIT DxM mesh
@@ -436,18 +462,33 @@ def _resolve_meshes(parser, args):
                 "exclusive: sequence parallelism shards the time axis "
                 "over ALL requested devices (ring attention)")
         from sea_tpu.parallel.mesh import make_seq_mesh
-        return None, make_seq_mesh(args.seq_parallel)
+        return None, make_seq_mesh(args.seq_parallel), None
+    if args.pp:
+        if spec not in ("auto", "none"):
+            parser.error(
+                f"--pp and --mesh {args.mesh} are mutually exclusive: "
+                "pipeline parallelism builds its own ('data', 'pipe') "
+                "mesh — devices beyond the S stages join the data axis")
+        import jax
+        from sea_tpu.parallel.pipeline import make_pipe_mesh
+        n = len(jax.devices())
+        if n < args.pp:
+            parser.error(f"--pp {args.pp} needs {args.pp} devices; "
+                         f"{n} visible")
+        n_data = max(1, n // args.pp)
+        print(f"pipeline mesh: data={n_data} x pipe={args.pp}")
+        return None, None, make_pipe_mesh(n_pipe=args.pp, n_data=n_data)
     if spec == "none":
-        return None, None
+        return None, None, None
     if spec == "auto":
         import jax
         n = len(jax.devices())
         if n == 1:
-            return None, None
+            return None, None, None
         print(f"auto mesh: data={n} x model=1 over {n} devices")
         from sea_tpu.parallel.mesh import make_mesh
-        return make_mesh(n_data=n, n_model=1), None
-    return parse_dxm(spec), None
+        return make_mesh(n_data=n, n_model=1), None, None
+    return parse_dxm(spec), None, None
 
 
 def _final_save(case, kind: str, params) -> None:

@@ -170,7 +170,8 @@ def train(case: CaseConfig,
           epochs: Optional[int] = None,
           init_params=None, init_opt_state=None,
           save_artifacts: bool = True,
-          mesh=None, seq_mesh=None,
+          mesh=None, seq_mesh=None, pipe_mesh=None,
+          pipe_microbatches: int = 0,
           profile_dir: Optional[str] = None) -> Tuple[Any, TemporalData]:
     """``mesh``: optional jax.sharding.Mesh — runs the whole loop
     data-parallel (batches sharded over the 'data' axis, attention weights
@@ -185,12 +186,20 @@ def train(case: CaseConfig,
     so the shipped recipes train unmodified). Mutually exclusive with
     ``mesh``; requires dataset_src_len divisible by the ring size.
 
+    ``pipe_mesh``: optional ('data', 'pipe') Mesh — pipeline-parallel
+    training (parallel/pipeline.py): the layer stack shards over 'pipe'
+    (GPipe microbatching, ``pipe_microbatches`` per step, default = stage
+    count), the batch over 'data'. Requires num_layers divisible by the
+    pipe size; deep-stack configs only. PP checkpoints store params only
+    (optimizer state stays in the stacked mesh layout; resume restores
+    params with a fresh optimizer).
+
     ``profile_dir``: capture a jax.profiler device trace (TensorBoard/
     Perfetto) of ONE steady-state epoch — epoch 2, past the compile —
     into this directory (CLI: --profile)."""
-    if mesh is not None and seq_mesh is not None:
-        raise ValueError("pass either mesh (DP x TP) or seq_mesh "
-                         "(sequence-parallel), not both")
+    if sum(m is not None for m in (mesh, seq_mesh, pipe_mesh)) > 1:
+        raise ValueError("pass at most one of mesh (DP x TP), seq_mesh "
+                         "(sequence-parallel), pipe_mesh (pipeline)")
     tracker = error_tracker or NoOpErrorTracker()
     tcfg = case.temporal_train
     td = process_data(case, data=data, spatial_params=spatial_params)
@@ -215,6 +224,30 @@ def train(case: CaseConfig,
                 mesh, cfg, tx, params, compute_dtype=tcfg.compute_dtype,
                 init_opt_state=init_opt_state, log_norms=tcfg.log_norms,
                 per_tensor=tcfg.log_per_tensor)
+    elif pipe_mesh is not None:
+        S = pipe_mesh.shape["pipe"]
+        if cfg.num_layers % S:
+            raise ValueError(
+                f"pipeline-parallel training needs num_layers "
+                f"({cfg.num_layers}) divisible by the pipe size ({S}); "
+                "the shipped 1-layer presets should train DP/TP instead")
+        mb = pipe_microbatches or S
+        q = mb * pipe_mesh.shape["data"]
+        batch_size = -(-batch_size // q) * q
+        if batch_size != tcfg.batch_size:
+            print(f"note: batch size {tcfg.batch_size} -> {batch_size} "
+                  f"(next multiple of microbatches x data axis = {q})")
+        if init_opt_state is not None:
+            print("note: pipeline-parallel resume restores params only "
+                  "(optimizer restarts fresh — PP checkpoints don't carry "
+                  "stacked-layout moments)")
+        from sea_tpu.parallel.pipeline import make_pipeline_train_step
+        train_step, params, opt_state, place_batch = \
+            make_pipeline_train_step(pipe_mesh, cfg, tx, params,
+                                     n_microbatches=mb,
+                                     compute_dtype=tcfg.compute_dtype,
+                                     log_norms=tcfg.log_norms,
+                                     per_tensor=tcfg.log_per_tensor)
     elif seq_mesh is not None:
         ring = seq_mesh.shape["seq"]
         if tcfg.dataset_src_len % ring != 0:
@@ -238,6 +271,19 @@ def train(case: CaseConfig,
                                      per_tensor=tcfg.log_per_tensor)
         place_batch = None
     eval_step = make_eval_step(cfg)
+    # Pipeline-parallel params live in the stacked layout on the mesh;
+    # everything that leaves the train step (eval, checkpoints, the return
+    # value) uses the standard list-of-blocks layout.
+    if pipe_mesh is not None:
+        from sea_tpu.parallel.pipeline import unstack_pipeline_params
+        def to_ckpt(p):
+            return unstack_pipeline_params(p, cfg.num_layers)
+        _eval_raw = eval_step
+        def eval_step(p, *a):
+            return _eval_raw(to_ckpt(p), *a)
+    else:
+        def to_ckpt(p):
+            return p
 
     n_epochs = epochs if epochs is not None else tcfg.epoch_num
     best_val = float("inf")
@@ -245,7 +291,7 @@ def train(case: CaseConfig,
     # Copy before the first train step: donate_argnums invalidates
     # the initial buffers, and best_params must survive a run where
     # validation never improves.
-    best_params = snapshot_tree(params)
+    best_params = snapshot_tree(to_ckpt(params))
     start = time.time()
 
     # Device-resident train split (TrainConfig.device_resident_data):
@@ -354,7 +400,7 @@ def train(case: CaseConfig,
             # Full autoregressive eval cadence (train_temporal.py:295-320).
             if epoch % tcfg.full_eval_interval == 0:
                 results = full_autoregressive_evaluation(
-                    params, case, td.val, td.latent_service,
+                    to_ckpt(params), case, td.val, td.latent_service,
                     td.mesh_processor, epoch=epoch,
                     save_artifacts=save_artifacts)
                 val_metrics["Full_Encoded_Rel_MSE"] = \
@@ -367,7 +413,7 @@ def train(case: CaseConfig,
                         save_checkpoint(
                             case.run.save_dir, "temporal_Checkpoint",
                             case.run.case_name, case.run.run_name,
-                            snapshot_tree(params),
+                            snapshot_tree(to_ckpt(params)),
                             meta={"epoch": epoch,
                                   "decoded_rel_mse": best_rollout},
                             use_orbax=multihost_checkpointing())
@@ -379,7 +425,7 @@ def train(case: CaseConfig,
 
             if val_loss < best_val:
                 best_val = val_loss
-                best_params = snapshot_tree(params)
+                best_params = snapshot_tree(to_ckpt(params))
                 # Orbax saves are collective: on a pod EVERY process
                 # enters (each persists its addressable shards); the npz
                 # path writes from process 0 only.
@@ -387,7 +433,10 @@ def train(case: CaseConfig,
                     save_checkpoint(
                         case.run.save_dir, "temporal",
                         case.run.case_name, case.run.run_name, best_params,
-                        opt_state=snapshot_tree(opt_state),
+                        # PP moments live in the stacked mesh layout;
+                        # checkpoints stay driver-layout (params only).
+                        opt_state=(None if pipe_mesh is not None
+                                   else snapshot_tree(opt_state)),
                         meta={"epoch": epoch, "val_loss": best_val},
                         use_orbax=multihost_checkpointing())
                     print("--- New Best Model Saved ---")

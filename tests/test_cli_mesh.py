@@ -62,6 +62,54 @@ def test_cli_seq_parallel_training(tmp_path):
         os.path.join(save, "temporal_cylinder_flow_run1.npz"))
 
 
+def test_pp_flag_parsing_errors(capsys):
+    with pytest.raises(SystemExit):
+        cli.main(["cylinder_flow", "temporal", "test", "--synthetic",
+                  "--pp", "2"])
+    assert "--pp" in capsys.readouterr().err
+    with pytest.raises(SystemExit):
+        cli.main(["cylinder_flow", "temporal", "train", "--synthetic",
+                  "--pp", "2", "--seq_parallel", "4"])
+    assert "mutually exclusive" in capsys.readouterr().err
+    with pytest.raises(SystemExit):
+        cli.main(["cylinder_flow", "temporal", "train", "--synthetic",
+                  "--pp", "2", "--mesh", "4x2"])
+    assert "mutually exclusive" in capsys.readouterr().err
+    with pytest.raises(SystemExit):
+        cli.main(["cylinder_flow", "temporal", "train", "--synthetic",
+                  "--pp", "1"])
+    assert "at least 2 stages" in capsys.readouterr().err
+
+
+@requires_8
+@pytest.mark.heavy
+def test_cli_pipeline_parallel_training(tmp_path):
+    """--pp 4: the deep smoke preset's 4-layer stack shards over a
+    ('data'=2, 'pipe'=4) mesh from the command line; the checkpoint lands
+    in the standard (unstacked) family layout and the 1-layer shipped
+    preset fails with the helpful divisibility error."""
+    save = str(tmp_path)
+    cli.main(["cylinder_flow_smoke_deep", "encoder", "train", "--synthetic",
+              "--epochs", "1", "--save_dir", save, "--mesh", "none"])
+    # M=2 microbatches: 2 (mb) x 2 ('data') = batch 4 fits the 5 synthetic
+    # training windows (the M=S default would round the batch up to 8).
+    cli.main(["cylinder_flow_smoke_deep", "temporal", "train", "--synthetic",
+              "--epochs", "1", "--save_dir", save, "--pp", "4",
+              "--pp_microbatches", "2"])
+    path = os.path.join(save, "temporal_cylinder_flow_run1.npz")
+    assert os.path.exists(path)
+    # Standard layout: loadable against the plain init template.
+    import jax as _jax
+    from sea_tpu.configs.cylinder_flow_smoke_deep import get_case
+    from sea_tpu.models.temporal import init_temporal
+    from sea_tpu.utils.checkpoint import load_params
+    case = get_case()
+    load_params(path, init_temporal(_jax.random.PRNGKey(0), case.temporal))
+    with pytest.raises(ValueError, match="divisible by the pipe size"):
+        cli.main(["cylinder_flow_smoke", "temporal", "train", "--synthetic",
+                  "--epochs", "1", "--save_dir", save, "--pp", "2"])
+
+
 @requires_8
 def test_mesh_auto_resolution():
     """'auto' spans all 8 virtual devices; 'none' and test modes stay
@@ -70,15 +118,20 @@ def test_mesh_auto_resolution():
     parser = argparse.ArgumentParser()
 
     class A:
-        mode, seq_parallel, mesh = "train", 0, "auto"
+        mode, seq_parallel, mesh, pp = "train", 0, "auto", 0
         model_type = "temporal"
-    mesh, seq = cli._resolve_meshes(parser, A())
-    assert seq is None and mesh is not None
+    mesh, seq, pipe = cli._resolve_meshes(parser, A())
+    assert seq is None and pipe is None and mesh is not None
     assert mesh.shape["data"] == len(jax.devices())
     A.mesh = "none"
-    assert cli._resolve_meshes(parser, A()) == (None, None)
+    assert cli._resolve_meshes(parser, A()) == (None, None, None)
     A.mesh, A.mode = "auto", "test"
-    assert cli._resolve_meshes(parser, A()) == (None, None)
+    assert cli._resolve_meshes(parser, A()) == (None, None, None)
+    A.mode, A.pp = "train", 4
+    mesh, seq, pipe = cli._resolve_meshes(parser, A())
+    assert mesh is None and seq is None
+    assert pipe.shape["pipe"] == 4
+    assert pipe.shape["data"] == len(jax.devices()) // 4
 
 
 @pytest.mark.heavy

@@ -34,6 +34,37 @@ V5E_PEAK_FLOPS = 197e12  # bf16 MXU peak, one v5e chip
 V5E_HBM_BPS = 819e9
 
 
+def build_spatial(case_name, dtype, batch=None, log_norms=True,
+                  mu_dtype="float32", optimizer="adamw", n_inp=64):
+    """Stage-1 (encoder/decoder) train step at the shipped model size.
+
+    The real cells-per-patch C comes from the dataset's partition
+    occupancy; the bench uses a representative --n_inp (default 64,
+    same order as the reference meshes') so the step is measurable
+    without data. B defaults to the shipped batch_size=128."""
+    import dataclasses
+    from sea_tpu.configs.base import TrainConfig
+    from sea_tpu.train.optim import make_optimizer
+    from sea_tpu.train.train_spatial import make_train_step
+
+    if case_name == "multiphase":
+        from sea_tpu.configs.multiphase_flow import get_case
+    else:
+        from sea_tpu.configs.cylinder_flow import get_case
+    case = get_case()
+    cfg = case.spatial.with_n_inp(n_inp)
+    B = batch or case.spatial_train.batch_size
+    P = case.mesh.num_patches
+    from sea_tpu.utils.precision import POLICY_BY_FLAG
+    policy = POLICY_BY_FLAG[dtype]
+    tx = make_optimizer(dataclasses.replace(
+        TrainConfig(learning_rate=1e-4), adam_mu_dtype=mu_dtype,
+        compute_dtype=policy, optimizer=optimizer))
+    step = make_train_step(cfg, tx, compute_dtype=policy,
+                           log_norms=log_norms)
+    return cfg, step, tx, B, P
+
+
 def build(case_name, impl, dtype, batch=None, log_norms=True,
           mu_dtype="float32", remat=False, optimizer="adamw"):
     import dataclasses
@@ -93,7 +124,26 @@ def main():
                          "'dots' saves matmul outputs and recomputes only "
                          "the elementwise interiors — targets activation "
                          "HBM traffic, the dominant term at B>=8")
+    ap.add_argument("--stage", choices=["temporal", "spatial"],
+                    default="temporal",
+                    help="which training stage to bench; spatial = the "
+                         "stage-1 encoder/decoder step at the shipped "
+                         "model size (see --n_inp)")
+    ap.add_argument("--n_inp", type=int, default=64,
+                    help="spatial stage only: cells per patch C (data-"
+                         "derived in real runs; 64 is representative)")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (the session env rewrites "
+                         "JAX_PLATFORMS, so only jax.config sticks) — for "
+                         "smoke runs; real numbers come from the TPU")
     args = ap.parse_args()
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    if args.stage == "spatial":
+        _main_spatial(args)
+        return
 
     import sea_tpu.ops.flash_attention as _fa
     real_flash_supported = _fa.flash_supported
@@ -191,6 +241,63 @@ def main():
         out["achieved_tflops_per_sec"] = round(flops / dt / 1e12, 2)
         out["mfu_vs_v5e_bf16_peak"] = round(flops / dt / V5E_PEAK_FLOPS, 4)
         out["hbm_gb_per_step"] = round(nbytes / 1e9, 2)
+        out["hbm_util_vs_peak"] = round(nbytes / dt / V5E_HBM_BPS, 4)
+    print(json.dumps(out))
+
+
+def _main_spatial(args):
+    from sea_tpu.models.spatial import init_spatial
+
+    mu_dtype = "bfloat16" if args.mu == "bf16" else "float32"
+    cfg, step, tx, B, P = build_spatial(args.case, args.dtype,
+                                        batch=args.batch,
+                                        log_norms=not args.no_norms,
+                                        mu_dtype=mu_dtype,
+                                        optimizer=args.opt,
+                                        n_inp=args.n_inp)
+    params = init_spatial(jax.random.PRNGKey(0), cfg)
+    opt_state = tx.init(params)
+    batch = jax.random.normal(jax.random.PRNGKey(1),
+                              (B, P, cfg.num_fields, args.n_inp))
+    it = jnp.zeros(())
+
+    def cost_of(a_step):
+        compiled = a_step.lower(params, opt_state, batch,
+                                jax.random.PRNGKey(2), it).compile()
+        ca = compiled.cost_analysis()
+        ca = ca[0] if isinstance(ca, list) else ca
+        return (float(ca.get("flops", 0.0)),
+                float(ca.get("bytes accessed", 0.0)))
+
+    try:
+        flops, nbytes = cost_of(step)
+    except Exception:
+        flops = nbytes = 0.0
+
+    params, opt_state, stats = step(params, opt_state, batch,
+                                    jax.random.PRNGKey(2), it)
+    float(stats["loss"])  # tunneled-backend fence (see temporal path)
+    n = 10
+    t0 = time.perf_counter()
+    for i in range(n):
+        params, opt_state, stats = step(params, opt_state, batch,
+                                        jax.random.PRNGKey(10 + i), it)
+    float(stats["loss"])
+    dt = (time.perf_counter() - t0) / n
+
+    out = {
+        "metric": f"{args.case}_spatial_train_step",
+        "dtype": args.dtype, "mu": args.mu, "opt": args.opt,
+        "B": B, "P": P, "n_inp": args.n_inp,
+        "ms_per_step": round(dt * 1000, 2),
+        "snapshots_per_sec": round(B / dt),
+        "loss": float(stats["loss"]),
+    }
+    if flops:
+        out["model_tflops_per_step"] = round(flops / 1e12, 4)
+        out["achieved_tflops_per_sec"] = round(flops / dt / 1e12, 2)
+        out["mfu_vs_v5e_bf16_peak"] = round(flops / dt / V5E_PEAK_FLOPS, 4)
+        out["hbm_gb_per_step"] = round(nbytes / 1e9, 3)
         out["hbm_util_vs_peak"] = round(nbytes / dt / V5E_HBM_BPS, 4)
     print(json.dumps(out))
 
