@@ -158,6 +158,13 @@ def main(argv=None):
                              "trace (TensorBoard/Perfetto) of one steady-"
                              "state training epoch into DIR — the tool for "
                              "chasing MFU (BASELINE.md methodology)")
+    parser.add_argument("--seed", type=int, default=None,
+                        help="override the configs' random_seed for both "
+                             "the spatial and temporal splits, and seed "
+                             "every host-side RNG (python random / numpy / "
+                             "torch — reference main.py:14-21 set_seed). "
+                             "Model init and dropout keys derive from the "
+                             "same value")
     parser.add_argument("--platform", choices=["default", "cpu", "tpu"],
                         default="default",
                         help="force the JAX backend before any device "
@@ -217,6 +224,14 @@ def main(argv=None):
     mesh, seq_mesh, pipe_mesh = _resolve_meshes(parser, args)
 
     case = get_case(args.flow_type)
+    if args.seed is not None:
+        from sea_tpu.utils.seeding import set_seed
+        set_seed(args.seed)
+        case = case.replace(
+            spatial_split=dataclasses.replace(case.spatial_split,
+                                              random_seed=args.seed),
+            temporal_split=dataclasses.replace(case.temporal_split,
+                                               random_seed=args.seed))
     if args.save_dir:
         case = case.replace(run=dataclasses.replace(case.run,
                                                     save_dir=args.save_dir))

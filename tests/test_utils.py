@@ -385,3 +385,23 @@ def test_latent_service_with_params_overrides_decode():
     d2 = svc2.decode_dataset(z)
     assert svc.params is p1  # original untouched
     assert not np.allclose(d1, d2)
+
+
+def test_set_seed_seeds_all_host_rngs():
+    """Reference main.py:14-21 parity: one switch seeds random/numpy/torch
+    and returns a jax key derived from the same value."""
+    import random
+    from sea_tpu.utils.seeding import set_seed
+    key1 = set_seed(123)
+    a_py, a_np = random.random(), np.random.rand()
+    key2 = set_seed(123)
+    assert random.random() == a_py
+    assert np.random.rand() == a_np
+    assert jnp.array_equal(key1, key2)
+    assert jnp.array_equal(key1, jax.random.PRNGKey(123))
+    import os
+    assert os.environ["PYTHONHASHSEED"] == "123"
+    import torch
+    t1 = torch.rand(3)
+    set_seed(123)
+    assert torch.equal(torch.rand(3), t1)
