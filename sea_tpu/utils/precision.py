@@ -106,8 +106,28 @@ def quantize_weights_int4(tree, min_size: int = 1 << 16):
 
     @jax.jit
     def leaf(w):
-        s = jnp.max(jnp.abs(w), axis=0) / 7.0
-        s = jnp.where(s == 0.0, 1.0, s)
+        # MSE-optimal per-column clip: max-scaling spends the 4-bit grid
+        # on the column's single largest weight (~4 sigma for the shipped
+        # matrices), leaving every other weight a coarser cell than
+        # necessary. Sweep 13 clip ratios per column and keep the scale
+        # minimizing reconstruction MSE — cuts the per-matmul noise from
+        # ~15% to ~11% on gaussian weights (test_int4_weight_quantization
+        # pins the A/B) with zero serving-time cost (same storage, same
+        # kernel; the optimum sits near 0.7x the column max).
+        s_max = jnp.max(jnp.abs(w), axis=0) / 7.0          # [N]
+        s_max = jnp.where(s_max == 0.0, 1.0, s_max)
+        best_s, best_err = s_max, jnp.full(s_max.shape, jnp.inf)
+        # Unrolled sweep keeps the working set at one [K, N] temporary
+        # (a stacked [R, K, N] candidate tensor would be ~1.7 GB for the
+        # multiphase MLP weight).
+        for r in [0.4, 0.45, 0.5, 0.55, 0.6, 0.65, 0.7,
+                  0.75, 0.8, 0.85, 0.9, 0.95, 1.0]:
+            cand = s_max * r                               # [N]
+            q_c = jnp.clip(jnp.round(w / cand), -7, 7)
+            err = jnp.sum((q_c * cand - w) ** 2, axis=0)   # [N]
+            best_s = jnp.where(err < best_err, cand, best_s)
+            best_err = jnp.minimum(err, best_err)
+        s = best_s
         q = jnp.clip(jnp.round(w / s), -7, 7)
         return pack_int4(q.astype(jnp.int8)), s
 
