@@ -305,3 +305,30 @@ def test_python_dash_m_package_entry(capsys):
     finally:
         sys.argv = argv
     assert "temporal" in capsys.readouterr().out
+
+
+@pytest.mark.heavy
+def test_cli_seed_flag_is_deterministic(tmp_path):
+    """`--seed N` makes the whole CLI run reproducible: two encoder
+    trainings with the same seed produce bit-identical checkpoints
+    (splits, synthetic data, model init, and batch order all derive from
+    the one value); a different seed produces a different one."""
+    import numpy as np
+
+    def run(save, seed):
+        cli.main(["cylinder_flow_smoke", "encoder", "train", "--synthetic",
+                  "--epochs", "2", "--save_dir", save, "--mesh", "none",
+                  "--seed", str(seed)])
+        path = os.path.join(save,
+                            "encoder_decoder_cylinder_flow_run1.npz")
+        with np.load(path) as z:
+            return {k: z[k].copy() for k in z.files}
+
+    a = run(str(tmp_path / "a"), 11)
+    b = run(str(tmp_path / "b"), 11)
+    assert a.keys() == b.keys()
+    for k in a:
+        np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+    c = run(str(tmp_path / "c"), 12)
+    assert any(not np.array_equal(a[k], c[k]) for k in a
+               if a[k].shape == c[k].shape)
