@@ -92,6 +92,12 @@ def _summarize_xspace_direct(xspaces, steps):
                     ops[key] = ops.get(key, 0) + dur
     out = [{"op": k[0], "type": k[1], "source": k[2], "self_us": v / 1e6}
            for k, v in ops.items()]
+    # Control-flow rows (while/conditional) report INCLUSIVE durations in
+    # the XLA-Ops line — their body ops are also listed individually, so
+    # counting them in the total double-counts ~half the device time and
+    # once misread a rollout profile as 51% "loop overhead". Drop them
+    # from total/percentages; the body ops carry the real attribution.
+    out = [o for o in out if o["type"] not in ("while", "conditional")]
     out.sort(key=lambda o: -o["self_us"])
     total = sum(o["self_us"] for o in out)
     cats = {}
