@@ -79,7 +79,8 @@ def quantize_weights_int8(tree, min_size: int = 1 << 16):
     return _quantize_weights(tree, min_size, leaf)
 
 
-def quantize_weights_int4(tree, min_size: int = 1 << 16):
+def quantize_weights_int4(tree, min_size: int = 1 << 16,
+                          scale: str = "mse"):
     """Weight-only int4: packed-nibble uint8 storage — 0.5 byte/weight in
     HBM, symmetric per-output-channel, range [-7, 7]. Each big linear
     weight becomes {"w_p4": uint8 [in/2, out], "w_s": f32 [out]}
@@ -101,8 +102,15 @@ def quantize_weights_int4(tree, min_size: int = 1 << 16):
 
     The int4 grid is 16x coarser than int8's, so ALWAYS measure drift on
     the trained weights first (tools/measure_bf16_drift.py --dtype int4).
+
+    scale: "mse" (default — per-column MSE-optimal clip search) or "max"
+    (plain column-max scaling; kept so the drift tool can A/B the two on
+    trained weights: measure_bf16_drift.py --int4_scaling max).
     """
     from sea_tpu.ops.quant_matmul import pack_int4
+
+    if scale not in ("mse", "max"):
+        raise ValueError(f"scale must be 'mse' or 'max', got {scale!r}")
 
     @jax.jit
     def leaf(w):
@@ -116,6 +124,9 @@ def quantize_weights_int4(tree, min_size: int = 1 << 16):
         # kernel; the optimum sits near 0.7x the column max).
         s_max = jnp.max(jnp.abs(w), axis=0) / 7.0          # [N]
         s_max = jnp.where(s_max == 0.0, 1.0, s_max)
+        if scale == "max":
+            q = jnp.clip(jnp.round(w / s_max), -7, 7)
+            return pack_int4(q.astype(jnp.int8)), s_max
         best_s, best_err = s_max, jnp.full(s_max.shape, jnp.inf)
         # Unrolled sweep keeps the working set at one [K, N] temporary
         # (a stacked [R, K, N] candidate tensor would be ~1.7 GB for the

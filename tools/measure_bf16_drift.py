@@ -35,6 +35,12 @@ def main():
     ap.add_argument("--cpu", action="store_true", default=True)
     ap.add_argument("--dtype", choices=["bf16", "int8", "int4"],
                     default="bf16")
+    ap.add_argument("--int4_scaling", choices=["mse", "max"],
+                    default="mse",
+                    help="int4 only: per-column scale selection — 'mse' "
+                         "(the shipped clip search) or 'max' (plain "
+                         "column-max, for A/B'ing the improvement on "
+                         "trained weights)")
     ap.add_argument("--e2e", action="store_true",
                     help="end-to-end serving drift: reduce the stage-1 "
                          "DECODE weights too and evaluate through the fused "
@@ -77,9 +83,12 @@ def main():
                         "temporal_cylinder_flow_run1.npz")
     params = load_params(ckpt, template)
 
+    import functools
+
     from sea_tpu.utils.precision import fuse_attention_projections
     reduce = {"int8": quantize_weights_int8,
-              "int4": quantize_weights_int4,
+              "int4": functools.partial(quantize_weights_int4,
+                                        scale=args.int4_scaling),
               "bf16": cast_weights_bf16}[args.dtype]
     # measure the exact single-chip serving configuration, which fuses
     # the attention projections before the dtype transform (cli.py)
