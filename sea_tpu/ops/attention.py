@@ -233,6 +233,19 @@ def mha_step(params, x_q_t, x_kv_t, cache, t, *, n_heads: int, rope: bool,
         cache["v"], v.astype(cache["v"].dtype), t, axis=1)
 
     T_max = cache_k.shape[1]
+
+    from sea_tpu.ops.decode_attention import (decode_attention,
+                                              decode_supported)
+    if src_len == 0 and decode_supported(B, T_max, n_heads, hd):
+        # Fused flash-decode kernel: online softmax over the cache with
+        # the k-block index clamped to position t via scalar prefetch —
+        # blocks beyond t are never DMA'd, halving average cache traffic
+        # over a rollout (ops/decode_attention.py; equality + A/B tested).
+        out = decode_attention(q.reshape(B, n_heads, hd), cache_k,
+                               cache_v, t)
+        out = out.astype(x_q_t.dtype).reshape(B, C)
+        return linear(params["proj"], out), {"k": cache_k, "v": cache_v}
+
     scale = hd ** -0.5
     scores = jnp.einsum("bqhd,bkhd->bhqk", q, cache_k,
                         preferred_element_type=jnp.float32) * scale

@@ -1,0 +1,91 @@
+"""Fused single-token cache attention (ops/decode_attention.py).
+
+The Pallas kernel itself needs a real TPU; CPU tests run it in interpret
+mode against the mha_step XLA math it replaces, and pin the dispatch
+predicate. On-hardware exactness and the rollout-level A/B live behind
+the TPU skip.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sea_tpu.ops.decode_attention import decode_attention, decode_supported
+
+
+def _ref(q, K, V, t):
+    """mha_step's XLA math at src_len=0: f32 scores, k<=t mask, softmax."""
+    hd = q.shape[-1]
+    T = K.shape[1]
+    s = jnp.einsum("bhd,bkhd->bhk", q.astype(jnp.float32),
+                   K.astype(jnp.float32)) * hd ** -0.5
+    s = jnp.where(jnp.arange(T)[None, None, :] <= t, s, -1e30)
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bhk,bkhd->bhd", p, V.astype(jnp.float32))
+
+
+@pytest.mark.parametrize("B,T,H,hd,t,dt", [
+    (1, 250, 8, 256, 0, jnp.float32),      # first step: 1 valid slot
+    (1, 250, 8, 256, 123, jnp.bfloat16),   # int4-serving cache dtype
+    (2, 399, 8, 128, 398, jnp.float32),    # last step: every slot valid
+    (3, 40, 2, 128, 17, jnp.bfloat16),     # T below one block -> padded
+])
+def test_interpret_matches_xla_math(B, T, H, hd, t, dt):
+    key = jax.random.PRNGKey(T + t)
+    k1, k2, k3 = jax.random.split(key, 3)
+    q = jax.random.normal(k1, (B, H, hd), jnp.float32)
+    K = jax.random.normal(k2, (B, T, H, hd), jnp.float32).astype(dt)
+    V = jax.random.normal(k3, (B, T, H, hd), jnp.float32).astype(dt)
+    got = decode_attention(q, K, V, jnp.int32(t), interpret=True)
+    want = _ref(q.astype(dt).astype(jnp.float32), K, V, t)
+    tol = 1e-5 if dt == jnp.float32 else 3e-2
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=0, atol=tol)
+
+
+def test_interpret_inside_scan():
+    """The kernel must trace under lax.scan with a traced position t —
+    exactly how the rollout engine drives it."""
+    B, T, H, hd = 1, 160, 2, 128
+    key = jax.random.PRNGKey(0)
+    K = jax.random.normal(key, (B, T, H, hd))
+    V = jax.random.normal(jax.random.fold_in(key, 1), (B, T, H, hd))
+    q = jax.random.normal(jax.random.fold_in(key, 2), (B, H, hd))
+
+    def step(carry, t):
+        return carry, decode_attention(q, K, V, t, interpret=True)
+
+    _, outs = jax.lax.scan(step, 0, jnp.arange(T, dtype=jnp.int32))
+    for t in (0, 77, T - 1):
+        np.testing.assert_allclose(np.asarray(outs[t]),
+                                   np.asarray(_ref(q, K, V, t)),
+                                   rtol=0, atol=1e-5)
+
+
+def test_dispatch_predicate(monkeypatch):
+    assert decode_supported(1, 250, 8, 256, backend="tpu")
+    assert decode_supported(1, 399, 8, 128, backend="tpu")
+    assert not decode_supported(1, 250, 8, 256, backend="cpu")
+    assert not decode_supported(1, 399, 8, 64, backend="tpu")   # hd % 128
+    assert not decode_supported(1, 64, 8, 128, backend="tpu")   # tiny T
+    assert not decode_supported(16, 250, 8, 128, backend="tpu")  # B*H cap
+    monkeypatch.setenv("SEA_TPU_DECODE_KERNEL", "0")
+    assert not decode_supported(1, 250, 8, 256, backend="tpu")
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="Pallas kernel needs a real TPU")
+def test_kernel_matches_xla_on_hardware():
+    key = jax.random.PRNGKey(5)
+    for dt in (jnp.float32, jnp.bfloat16):
+        B, T, H, hd = 1, 250, 8, 256
+        k1, k2, k3 = jax.random.split(jax.random.fold_in(key, hash(dt.__name__) % 97), 3)
+        q = jax.random.normal(k1, (B, H, hd), jnp.float32)
+        K = jax.random.normal(k2, (B, T, H, hd), jnp.float32).astype(dt)
+        V = jax.random.normal(k3, (B, T, H, hd), jnp.float32).astype(dt)
+        got = decode_attention(q, K, V, jnp.int32(123))
+        want = _ref(q.astype(dt).astype(jnp.float32), K, V, 123)
+        tol = 1e-5 if dt == jnp.float32 else 3e-2
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=0, atol=tol)
