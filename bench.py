@@ -67,6 +67,14 @@ INT4_DRIFT = {"decoded_rel_mse_rel_change": -0.00882,
 # XLA pathology note: BASELINE.md "Same-chip rollout engine A/B".
 SCAN_VS_PREFIX_ON_CHIP = {"cylinder_f32": 0.67, "cylinder_bf16w": 1.04,
                           "multiphase_f32": 0.66}
+# Flash-decode kernel A/B (round 3, tools/bench_decode_kernel.py on one
+# v5e): steps/s ratio kernel/XLA for the same rollout program — the
+# kernel's scalar-prefetch block clamp stops DMA of cache blocks beyond
+# position t (ops/decode_attention.py). The headline rows above already
+# include it (it is the default dispatch on TPU).
+DECODE_KERNEL_SPEEDUP = {"multiphase_f32": 1.09, "multiphase_bf16w": 1.11,
+                         "multiphase_int4w": 1.04, "cylinder_f32": 1.10,
+                         "cylinder_bf16w": 1.20, "cylinder_int4w": 1.01}
 
 
 def bench_rollout(cfg, steps, *, dtype: str, key_base: int):
@@ -321,6 +329,7 @@ def main():
         "multiphase_int4w_vs_baseline": ratio(mp_int4, mp_ref),
         "int4w_drift_on_trained_weights": INT4_DRIFT,
         "scan_vs_prefix_on_chip": SCAN_VS_PREFIX_ON_CHIP,
+        "decode_kernel_speedup": DECODE_KERNEL_SPEEDUP,
         # Training-throughput evidence at the recommended recipe
         # (bfloat16_shadow + bf16 AdamW mu, B=8, T=199, multiphase):
         # MFU vs the detected chip's bf16 peak from the compiled step's

@@ -142,7 +142,12 @@ def decode_supported(B: int, T: int, n_heads: int, hd: int, *,
     cylinder's down-projected cross attention (hd=64) stays on XLA.
     Env override for A/B measurement: SEA_TPU_DECODE_KERNEL=0 disables."""
     import os
+    from sea_tpu.ops.dispatch import attention_kernels_allowed
     if os.environ.get("SEA_TPU_DECODE_KERNEL") == "0":
+        return False
+    if not attention_kernels_allowed():
+        # multi-device GSPMD trace (ops/dispatch.py): no partitioning
+        # rule for pallas — the XLA cache attention partitions cleanly.
         return False
     if backend is None:
         backend = jax.default_backend()

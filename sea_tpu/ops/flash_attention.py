@@ -662,6 +662,12 @@ def flash_supported(q, k, *, causal: bool, dropout_rate: float,
       banded-grid kernel only pulls ahead at long T (1.6-1.7x at
       T=2048), so require T>=1024.
     """
+    from sea_tpu.ops.dispatch import attention_kernels_allowed
+    if not attention_kernels_allowed():
+        # Tracing inside a multi-device GSPMD program (ops/dispatch.py):
+        # pallas has no partitioning rule there; XLA attention partitions
+        # cleanly. shard_map paths (ring, pipeline) are unaffected.
+        return False
     if jax.default_backend() not in ("tpu",):
         return False
     Tq, Tk = q.shape[1], k.shape[1]

@@ -25,6 +25,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec
 from sea_tpu.configs.base import SpatialModelConfig, TemporalModelConfig
 from sea_tpu.models.spatial import spatial_forward
 from sea_tpu.models.temporal import temporal_forward
+from sea_tpu.ops.dispatch import attention_kernels_disabled
 from sea_tpu.parallel.mesh import (shard_batch, spatial_param_shardings,
                                    temporal_param_shardings)
 from sea_tpu.rollout.engine import rollout_scan
@@ -96,8 +97,11 @@ def make_sharded_temporal_train_step(mesh: Mesh, cfg: TemporalModelConfig,
     def step(params, opt_state, src, tgt, ib, rng):
         def loss_fn(p):
             s, i = cast_x(src, ib)
-            out = temporal_forward(p, cfg, s, i, rng=rng,
-                                   deterministic=False)
+            # Pallas attention has no GSPMD partitioning rule — force the
+            # XLA path when this trace spans devices (ops/dispatch.py).
+            with attention_kernels_disabled(mesh.size > 1):
+                out = temporal_forward(p, cfg, s, i, rng=rng,
+                                       deterministic=False)
             return M.mse(out.astype(jnp.float32), tgt)
         if shadow:
             # Forward/backward on the persistent bf16 copy in the
@@ -147,9 +151,17 @@ def make_sharded_spatial_train_step(mesh: Mesh, cfg: SpatialModelConfig,
         def loss_fn(p):
             p = cast_p(p)
             (x,) = cast_x(batch)
+            # Shipped spatial shapes never reach flash_supported's T
+            # floor, but keep the multi-device GSPMD trace kernel-free
+            # uniformly (ops/dispatch.py).
+            with attention_kernels_disabled(mesh.size > 1):
+                if cfg.variational:
+                    recon, mu, logvar = spatial_forward(
+                        p, cfg, x, rng=rng, deterministic=False)
+                else:
+                    recon = spatial_forward(p, cfg, x, rng=rng,
+                                            deterministic=False)
             if cfg.variational:
-                recon, mu, logvar = spatial_forward(p, cfg, x, rng=rng,
-                                                    deterministic=False)
                 total, recon_loss, kl = M.vloss(
                     batch, recon.astype(jnp.float32),
                     mu.astype(jnp.float32), logvar.astype(jnp.float32),
@@ -157,8 +169,6 @@ def make_sharded_spatial_train_step(mesh: Mesh, cfg: SpatialModelConfig,
                     kl_weight_max=kl_weight_max, iteration=iteration,
                     total_steps=total_steps)
                 return total, (recon, recon_loss, kl)
-            recon = spatial_forward(p, cfg, x, rng=rng,
-                                    deterministic=False)
             loss = M.mse(recon.astype(jnp.float32), batch)
             return loss, (recon, loss, jnp.zeros(()))
         (loss, (recon, recon_loss, kl)), grads = \
@@ -246,7 +256,11 @@ def make_sharded_rollout(mesh: Mesh, cfg: TemporalModelConfig, params,
 
     @jax.jit
     def run(params, x0, ib):
-        return rollout_scan(params, cfg, x0, ib, cache_dtype=cache_dtype)
+        # Pallas (flash-decode) has no GSPMD partitioning rule — force the
+        # XLA cache attention when this trace spans devices.
+        with attention_kernels_disabled(mesh.size > 1):
+            return rollout_scan(params, cfg, x0, ib,
+                                cache_dtype=cache_dtype)
 
     def place_batch(x0, ib):
         return (shard_batch(mesh, jnp.asarray(x0)),

@@ -63,6 +63,26 @@ def test_interpret_inside_scan():
                                    rtol=0, atol=1e-5)
 
 
+def test_gspmd_trace_gate():
+    """Inside attention_kernels_disabled (how the multi-device GSPMD step
+    constructors trace), both Pallas dispatch predicates must refuse, and
+    the thread-local flag must restore on exit — even nested."""
+    from sea_tpu.ops.dispatch import (attention_kernels_allowed,
+                                      attention_kernels_disabled)
+    from sea_tpu.ops.flash_attention import flash_supported
+    q = jnp.zeros((2, 2048, 8, 128))
+    assert attention_kernels_allowed()
+    with attention_kernels_disabled(True):
+        assert not decode_supported(1, 250, 8, 256, backend="tpu")
+        assert not flash_supported(q, q, causal=True, dropout_rate=0.0,
+                                   deterministic=True)
+        with attention_kernels_disabled(False):  # inner no-op keeps it off
+            assert not attention_kernels_allowed()
+    assert attention_kernels_allowed()
+    with attention_kernels_disabled(False):  # inactive gate changes nothing
+        assert decode_supported(1, 250, 8, 256, backend="tpu")
+
+
 def test_dispatch_predicate(monkeypatch):
     assert decode_supported(1, 250, 8, 256, backend="tpu")
     assert decode_supported(1, 399, 8, 128, backend="tpu")
