@@ -55,7 +55,14 @@ def init_linear(key, d_in: int, d_out: int, *, bias: bool = True,
     return p
 
 
+# Optional activation-stats hook (utils/calibration.py). None except inside
+# capture_activation_stats(); eager-only — traced calls are skipped there.
+_CALIBRATION = None
+
+
 def linear(params, x):
+    if _CALIBRATION is not None:
+        _CALIBRATION.record(params, x)
     if "w_p4" in params:
         # int4 weight-only serving path (utils.precision.
         # quantize_weights_int4): packed-nibble Pallas matvec on TPU for

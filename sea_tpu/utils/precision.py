@@ -31,14 +31,16 @@ def to_f32(tree):
 
 
 def _quantize_weights(tree, min_size, quantize_leaf, q_key="w_q",
-                      extra_pred=None):
+                      extra_pred=None, post=None):
     """Shared walk for the weight-only quantizers: rewrite each big 2-D
     matmul weight (a ``{"w": [in, out], ...}`` linear param dict) to
     ``{q_key: quantized, "w_s": f32 [out], ...}`` — q_key is "w_q"
     (int8 [in, out]) or "w_p4" (packed-nibble uint8 [in/2, out]).
     Norms, biases, embeddings, and anything small or non-matmul stay f32
     (only dicts that look like linear params are rewritten; extra_pred
-    can veto per-weight, e.g. odd input dims for nibble packing)."""
+    can veto per-weight, e.g. odd input dims for nibble packing).
+    quantize_leaf(w, path) -> (q, s); post(out_dict, w, q, s, path), if
+    given, may mutate the rewritten dict (e.g. bias correction)."""
     def is_quantizable(node):
         w = node.get("w")
         return (w is not None and hasattr(w, "ndim") and w.ndim == 2
@@ -46,17 +48,22 @@ def _quantize_weights(tree, min_size, quantize_leaf, q_key="w_q",
                 and jnp.issubdtype(w.dtype, jnp.floating)
                 and (extra_pred is None or extra_pred(w)))
 
-    def walk(node):
+    def walk(node, path=()):
         if isinstance(node, dict):
             if is_quantizable(node):
-                q, s = quantize_leaf(node["w"].astype(jnp.float32))
-                out = {k: walk(v) for k, v in node.items() if k != "w"}
+                w = node["w"].astype(jnp.float32)
+                q, s = quantize_leaf(w, path)
+                out = {k: walk(v, path + (k,))
+                       for k, v in node.items() if k != "w"}
                 out[q_key] = q
                 out["w_s"] = s
+                if post is not None:
+                    post(out, w, q, s, path)
                 return out
-            return {k: walk(v) for k, v in node.items()}
+            return {k: walk(v, path + (k,)) for k, v in node.items()}
         if isinstance(node, (list, tuple)):
-            return type(node)(walk(v) for v in node)
+            return type(node)(walk(v, path + (i,))
+                              for i, v in enumerate(node))
         return node
 
     return walk(tree)
@@ -71,7 +78,7 @@ def quantize_weights_int8(tree, min_size: int = 1 << 16):
     (BASELINE.md roofline row), so this is the remaining single-chip lever
     after bf16. Quantify drift on trained weights before serving
     (tools/measure_bf16_drift.py --dtype int8)."""
-    def leaf(w):
+    def leaf(w, path):
         s = jnp.max(jnp.abs(w), axis=0) / 127.0
         s = jnp.where(s == 0.0, 1.0, s)
         q = jnp.clip(jnp.round(w / s), -127, 127).astype(jnp.int8)
@@ -80,7 +87,8 @@ def quantize_weights_int8(tree, min_size: int = 1 << 16):
 
 
 def quantize_weights_int4(tree, min_size: int = 1 << 16,
-                          scale: str = "mse"):
+                          scale: str = "mse", act_stats=None,
+                          bias_correct: bool = True):
     """Weight-only int4: packed-nibble uint8 storage — 0.5 byte/weight in
     HBM, symmetric per-output-channel, range [-7, 7]. Each big linear
     weight becomes {"w_p4": uint8 [in/2, out], "w_s": f32 [out]}
@@ -106,6 +114,19 @@ def quantize_weights_int4(tree, min_size: int = 1 << 16,
     scale: "mse" (default — per-column MSE-optimal clip search) or "max"
     (plain column-max scaling; kept so the drift tool can A/B the two on
     trained weights: measure_bf16_drift.py --int4_scaling max).
+
+    act_stats: optional activation statistics from
+    utils.calibration (``{path: {"mean": [K], "sq": [K], ...}}``, collected
+    on the SAME tree layout — fuse attention projections first). When
+    given, the clip search minimizes the diagonal-Hessian-weighted error
+    ``sum_k E[x_k^2] (q s - w)^2`` — the second-order approximation of the
+    layer's OUTPUT error — instead of plain weight MSE, and (with
+    bias_correct) the systematic output error ``E[x] @ (w - q s)`` is
+    folded into the layer bias (creating one if the linear had none; the
+    serving `linear()` applies any "b" present). Both are standard PTQ
+    refinements (Nagel et al. data-free quantization; GPTQ's diag-H
+    special case); measured on trained weights by
+    tools/measure_bf16_drift.py --int4_scaling cal.
     """
     from sea_tpu.ops.quant_matmul import pack_int4
 
@@ -113,7 +134,7 @@ def quantize_weights_int4(tree, min_size: int = 1 << 16,
         raise ValueError(f"scale must be 'mse' or 'max', got {scale!r}")
 
     @jax.jit
-    def leaf(w):
+    def _leaf(w, d):
         # MSE-optimal per-column clip: max-scaling spends the 4-bit grid
         # on the column's single largest weight (~4 sigma for the shipped
         # matrices), leaving every other weight a coarser cell than
@@ -135,12 +156,33 @@ def quantize_weights_int4(tree, min_size: int = 1 << 16,
                   0.75, 0.8, 0.85, 0.9, 0.95, 1.0]:
             cand = s_max * r                               # [N]
             q_c = jnp.clip(jnp.round(w / cand), -7, 7)
-            err = jnp.sum((q_c * cand - w) ** 2, axis=0)   # [N]
+            # d = per-input-channel weight (E[x^2] under calibration,
+            # ones otherwise): minimizes the 2nd-order output error
+            err = jnp.sum(d * (q_c * cand - w) ** 2, axis=0)  # [N]
             best_s = jnp.where(err < best_err, cand, best_s)
             best_err = jnp.minimum(err, best_err)
         s = best_s
         q = jnp.clip(jnp.round(w / s), -7, 7)
         return pack_int4(q.astype(jnp.int8)), s
+
+    def leaf(w, path):
+        stats = act_stats.get(path) if act_stats else None
+        d = (stats["sq"].astype(jnp.float32).reshape(-1, 1)
+             if stats is not None else jnp.ones((w.shape[0], 1),
+                                                jnp.float32))
+        return _leaf(w, d)
+
+    def post(out, w, q, s, path):
+        # Bias correction: fold the systematic output error of the
+        # quantized weight, E[x] @ (w - q s), into the layer bias so the
+        # quantized layer is unbiased on the calibration distribution.
+        stats = act_stats.get(path) if act_stats else None
+        if not bias_correct or stats is None:
+            return
+        from sea_tpu.ops.quant_matmul import unpack_int4
+        w_hat = unpack_int4(out["w_p4"], jnp.float32) * s
+        db = stats["mean"].astype(jnp.float32) @ (w - w_hat)   # [N]
+        out["b"] = (out["b"] + db) if "b" in out else db
 
     def even_input_dim(w):
         # odd input dims can't pack two nibbles per byte; leave them f32
@@ -148,7 +190,7 @@ def quantize_weights_int4(tree, min_size: int = 1 << 16,
         return w.shape[0] % 2 == 0
 
     return _quantize_weights(tree, min_size, leaf, q_key="w_p4",
-                             extra_pred=even_input_dim)
+                             extra_pred=even_input_dim, post=post)
 
 
 def fuse_attention_projections(temporal_params):

@@ -160,6 +160,13 @@ def test_cli_fused_serving_with_precision(tmp_path, capsys):
               "--save_dir", save, "--precision", "int4"])
     out = capsys.readouterr().out
     assert "int4 weights" in out and "decoded_rel_mse" in out
+    # single-chip int4 serving calibrates by default (activation-aware
+    # scales + bias correction, utils/calibration.py); opt-out flag works
+    assert "int4 calibration" in out
+    cli.main(["cylinder_flow_smoke", "temporal", "test", "--synthetic",
+              "--save_dir", save, "--precision", "int4", "--no_calibrate"])
+    out = capsys.readouterr().out
+    assert "int4 weights" in out and "int4 calibration" not in out
 
 
 @requires_8
