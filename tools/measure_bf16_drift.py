@@ -1,4 +1,5 @@
-"""Quantify reduced-precision weight drift on TRAINED cylinder weights.
+"""Quantify reduced-precision weight drift on TRAINED demo weights
+(--case cylinder_flow or multiphase_flow).
 
 bench.py's headline uses weight-only bf16 casting (utils/precision.py:
 cast_weights_bf16 — big matmul weights in bf16, norms/biases/softmax/loss
@@ -32,6 +33,11 @@ sys.path.insert(0, REPO)
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--save_dir", default="/tmp/qrun")
+    ap.add_argument("--case", choices=["cylinder_flow", "multiphase_flow"],
+                    default="cylinder_flow",
+                    help="which shipped preset's trained checkpoints to "
+                         "measure (expects temporal_{case}_{run}.npz in "
+                         "--save_dir)")
     ap.add_argument("--cpu", action="store_true", default=True)
     ap.add_argument("--dtype", choices=["bf16", "int8", "int4"],
                     default="bf16")
@@ -67,12 +73,12 @@ def main():
     from sea_tpu.rollout.engine import rollout
     from sea_tpu.train.evaluate import full_autoregressive_evaluation
     from sea_tpu.train.train_temporal import process_data
-    from sea_tpu.utils.checkpoint import load_params
+    from sea_tpu.utils.checkpoint import checkpoint_path, load_params
     from sea_tpu.utils.precision import (cast_weights_bf16,
                                          quantize_weights_int4,
                                          quantize_weights_int8)
 
-    case = get_case("cylinder_flow")
+    case = get_case(args.case)
     case = case.replace(run=dataclasses.replace(case.run,
                                                 save_dir=args.save_dir))
     data = _load_data(case, synthetic=True)
@@ -85,8 +91,8 @@ def main():
 
     td = process_data(case, data=data)
     template = init_temporal(jax.random.PRNGKey(0), case.temporal)
-    ckpt = os.path.join(args.save_dir,
-                        "temporal_cylinder_flow_run1.npz")
+    ckpt = checkpoint_path(args.save_dir, "temporal",
+                           case.run.case_name, case.run.run_name)
     params = load_params(ckpt, template)
 
     import functools

@@ -1,16 +1,18 @@
-"""Chunked trainer for the learning-quality demo (docs/demo Run B).
+"""Chunked trainer for the learning-quality demos (docs/demo).
 
-Trains the full-size cylinder config on 16 synthetic Re-conditioned
-trajectories (10 train / 3 val / 3 test at the config's split fractions)
-in resumable chunks — each invocation runs --epochs more epochs of the
-requested stage and exits; checkpoints land in --save_dir under the usual
-family names, so re-running continues from the best checkpoint. Designed
-for environments that cap single-command wall-clock (tunneled TPU
-sessions): relaunch until converged.
+Trains a full-size shipped preset (--case cylinder_flow or
+multiphase_flow) on 16 synthetic conditioned trajectories (10 train /
+3 val / 3 test at the config's split fractions) in resumable chunks —
+each invocation runs --epochs more epochs of the requested stage and
+exits; checkpoints land in --save_dir under the usual per-case family
+names (both cases can share one save dir), so re-running continues from
+the best checkpoint. Designed for environments that cap single-command
+wall-clock (tunneled TPU sessions): relaunch until converged.
 
     python tools/train_demo.py --stage spatial  --epochs 120 [--fresh]
     python tools/train_demo.py --stage temporal --epochs 80
     python tools/train_demo.py --stage eval          # test-split rollout
+    python tools/train_demo.py --case multiphase_flow --stage spatial ...
 """
 
 import argparse
@@ -25,9 +27,10 @@ sys.path.insert(0, REPO)
 TR, T, NODES = 16, 41, 800
 
 
-def build_case(save_dir):
-    from sea_tpu.configs.cylinder_flow import get_case
-    case = get_case()
+def build_case(save_dir, case_name="cylinder_flow"):
+    import importlib
+    cfg_mod = importlib.import_module(f"sea_tpu.configs.{case_name}")
+    case = cfg_mod.get_case()
     case = case.replace(run=dataclasses.replace(case.run,
                                                 save_dir=save_dir))
     tt = case.temporal_train
@@ -41,6 +44,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--stage", choices=["spatial", "temporal", "eval"],
                     required=True)
+    ap.add_argument("--case", choices=["cylinder_flow", "multiphase_flow"],
+                    default="cylinder_flow")
     ap.add_argument("--epochs", type=int, default=100)
     ap.add_argument("--save_dir", default="/tmp/demo_b")
     ap.add_argument("--fresh", action="store_true",
@@ -65,7 +70,7 @@ def main():
     import jax
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
-    from sea_tpu.data.synthetic import cylinder_like
+    from sea_tpu.data.synthetic import cylinder_like, multiphase_like
     from sea_tpu.train.optim import make_optimizer
     from sea_tpu.utils.checkpoint import (checkpoint_path,
                                           load_full_checkpoint, load_params)
@@ -77,15 +82,16 @@ def main():
                       os.path.join(args.save_dir, "xla_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    case = build_case(args.save_dir)
+    case = build_case(args.save_dir, args.case)
     if args.lr is not None:
         case = case.replace(
             spatial_train=dataclasses.replace(case.spatial_train,
                                               learning_rate=args.lr),
             temporal_train=dataclasses.replace(case.temporal_train,
                                                learning_rate=args.lr))
-    data = cylinder_like(tr=TR, T=T, n_nodes=NODES,
-                         seed=case.spatial_split.random_seed)
+    gen = cylinder_like if args.case == "cylinder_flow" else multiphase_like
+    data = gen(tr=TR, T=T, n_nodes=NODES,
+               seed=case.spatial_split.random_seed)
 
     if args.stage == "spatial":
         from sea_tpu.models.spatial import init_spatial
