@@ -205,8 +205,11 @@ def mha_step(params, x_q_t, x_kv_t, cache, t, *, n_heads: int, rope: bool,
     x_kv_t: [B, C] key/value token at absolute position t (for self-attention
             pass the same tensor; for the SEA cross-exchange pass the other
             stream's token).
-    cache:  {"k": [B, T_max, H, hd], "v": [B, T_max, H, hd]} carried through
-            jax.lax.scan; entries at positions > t are masked out.
+    cache:  {"k": [B, H, T_max, hd], "v": [B, H, T_max, hd]} carried through
+            jax.lax.scan; entries at positions > t are masked out. Head-major
+            layout so the flash-decode kernel's [B*H, T, hd] view is a free
+            reshape — time-major caches cost a full-cache relayout copy
+            every rollout step to feed the Pallas operand.
     t:      scalar int32 absolute position.
 
     Returns (out [B, C], new_cache). Equivalent to the reference's
@@ -228,11 +231,13 @@ def mha_step(params, x_q_t, x_kv_t, cache, t, *, n_heads: int, rope: bool,
         k = apply_rope(k, cos, sin)
 
     cache_k = jax.lax.dynamic_update_slice_in_dim(
-        cache["k"], k.astype(cache["k"].dtype), t, axis=1)
+        cache["k"], k.transpose(0, 2, 1, 3).astype(cache["k"].dtype),
+        t, axis=2)
     cache_v = jax.lax.dynamic_update_slice_in_dim(
-        cache["v"], v.astype(cache["v"].dtype), t, axis=1)
+        cache["v"], v.transpose(0, 2, 1, 3).astype(cache["v"].dtype),
+        t, axis=2)
 
-    T_max = cache_k.shape[1]
+    T_max = cache_k.shape[2]
 
     from sea_tpu.ops.decode_attention import (decode_attention,
                                               decode_supported)
@@ -247,7 +252,7 @@ def mha_step(params, x_q_t, x_kv_t, cache, t, *, n_heads: int, rope: bool,
         return linear(params["proj"], out), {"k": cache_k, "v": cache_v}
 
     scale = hd ** -0.5
-    scores = jnp.einsum("bqhd,bkhd->bhqk", q, cache_k,
+    scores = jnp.einsum("bqhd,bhkd->bhqk", q, cache_k,
                         preferred_element_type=jnp.float32) * scale
     # Causality allows positions <= t + src_len, but the cache only holds
     # entries <= t; admitting t+1..t+src_len would attend to zero-initialized
@@ -256,7 +261,7 @@ def mha_step(params, x_q_t, x_kv_t, cache, t, *, n_heads: int, rope: bool,
     valid = jnp.arange(T_max)[None, None, None, :] <= limit
     scores = jnp.where(valid, scores, NEG_INF)
     probs = jax.nn.softmax(scores, axis=-1)
-    out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(cache_v.dtype), cache_v,
+    out = jnp.einsum("bhqk,bhkd->bqhd", probs.astype(cache_v.dtype), cache_v,
                      preferred_element_type=jnp.float32)
     out = out.astype(x_q_t.dtype).reshape(B, C)
     return linear(params["proj"], out), {"k": cache_k, "v": cache_v}
@@ -264,5 +269,6 @@ def mha_step(params, x_q_t, x_kv_t, cache, t, *, n_heads: int, rope: bool,
 
 def init_kv_cache(batch: int, t_max: int, n_heads: int, head_dim: int,
                   dtype=jnp.float32):
-    shape = (batch, t_max, n_heads, head_dim)
+    # Head-major [B, H, T, hd] — see mha_step's cache contract.
+    shape = (batch, n_heads, t_max, head_dim)
     return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}

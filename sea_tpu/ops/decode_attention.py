@@ -159,15 +159,19 @@ def decode_attention(q, cache_k, cache_v, t, *, block_k: int = 256,
                      interpret: bool = False):
     """softmax(q @ K[: t+1]^T / sqrt(hd)) @ V[: t+1], one token.
 
-    q: [B, H, hd]; cache_k/cache_v: [B, T, H, hd] (any float dtype —
-    scores/softmax accumulate f32); t: scalar int32 absolute position.
-    Returns [B, H, hd] f32.
+    q: [B, H, hd]; cache_k/cache_v: [B, H, T, hd] head-major (any float
+    dtype — scores/softmax accumulate f32); t: scalar int32 absolute
+    position. Returns [B, H, hd] f32. Head-major caches make the
+    [B*H, T, hd] kernel view a FREE reshape; a time-major [B, T, H, hd]
+    cache would force a full-cache relayout copy into the Pallas operand
+    every rollout step (Pallas pins operand layouts, so XLA cannot fold
+    the transpose away).
     """
     B, H, hd = q.shape
-    T = cache_k.shape[1]
+    T = cache_k.shape[2]
 
     def to_bh(x):
-        return x.transpose(0, 2, 1, 3).reshape(B * H, x.shape[1], hd)
+        return x.reshape(B * H, T, hd)
 
     block_k = min(block_k, max(128, T))
     nk = pl.cdiv(T, block_k)

@@ -15,14 +15,17 @@ from sea_tpu.ops.decode_attention import decode_attention, decode_supported
 
 
 def _ref(q, K, V, t):
-    """mha_step's XLA math at src_len=0: f32 scores, k<=t mask, softmax."""
+    """mha_step's XLA math at src_len=0: f32 scores, k<=t mask, softmax.
+
+    K/V are head-major [B, H, T, hd] — the cache layout (free kernel view).
+    """
     hd = q.shape[-1]
-    T = K.shape[1]
-    s = jnp.einsum("bhd,bkhd->bhk", q.astype(jnp.float32),
+    T = K.shape[2]
+    s = jnp.einsum("bhd,bhkd->bhk", q.astype(jnp.float32),
                    K.astype(jnp.float32)) * hd ** -0.5
     s = jnp.where(jnp.arange(T)[None, None, :] <= t, s, -1e30)
     p = jax.nn.softmax(s, axis=-1)
-    return jnp.einsum("bhk,bkhd->bhd", p, V.astype(jnp.float32))
+    return jnp.einsum("bhk,bhkd->bhd", p, V.astype(jnp.float32))
 
 
 @pytest.mark.parametrize("B,T,H,hd,t,dt", [
@@ -35,8 +38,8 @@ def test_interpret_matches_xla_math(B, T, H, hd, t, dt):
     key = jax.random.PRNGKey(T + t)
     k1, k2, k3 = jax.random.split(key, 3)
     q = jax.random.normal(k1, (B, H, hd), jnp.float32)
-    K = jax.random.normal(k2, (B, T, H, hd), jnp.float32).astype(dt)
-    V = jax.random.normal(k3, (B, T, H, hd), jnp.float32).astype(dt)
+    K = jax.random.normal(k2, (B, H, T, hd), jnp.float32).astype(dt)
+    V = jax.random.normal(k3, (B, H, T, hd), jnp.float32).astype(dt)
     got = decode_attention(q, K, V, jnp.int32(t), interpret=True)
     want = _ref(q.astype(dt).astype(jnp.float32), K, V, t)
     tol = 1e-5 if dt == jnp.float32 else 3e-2
@@ -49,8 +52,8 @@ def test_interpret_inside_scan():
     exactly how the rollout engine drives it."""
     B, T, H, hd = 1, 160, 2, 128
     key = jax.random.PRNGKey(0)
-    K = jax.random.normal(key, (B, T, H, hd))
-    V = jax.random.normal(jax.random.fold_in(key, 1), (B, T, H, hd))
+    K = jax.random.normal(key, (B, H, T, hd))
+    V = jax.random.normal(jax.random.fold_in(key, 1), (B, H, T, hd))
     q = jax.random.normal(jax.random.fold_in(key, 2), (B, H, hd))
 
     def step(carry, t):
@@ -102,8 +105,8 @@ def test_kernel_matches_xla_on_hardware():
         B, T, H, hd = 1, 250, 8, 256
         k1, k2, k3 = jax.random.split(jax.random.fold_in(key, hash(dt.__name__) % 97), 3)
         q = jax.random.normal(k1, (B, H, hd), jnp.float32)
-        K = jax.random.normal(k2, (B, T, H, hd), jnp.float32).astype(dt)
-        V = jax.random.normal(k3, (B, T, H, hd), jnp.float32).astype(dt)
+        K = jax.random.normal(k2, (B, H, T, hd), jnp.float32).astype(dt)
+        V = jax.random.normal(k3, (B, H, T, hd), jnp.float32).astype(dt)
         got = decode_attention(q, K, V, jnp.int32(123))
         want = _ref(q.astype(dt).astype(jnp.float32), K, V, 123)
         tol = 1e-5 if dt == jnp.float32 else 3e-2
