@@ -88,6 +88,15 @@ def main(argv=None):
                         help="disable the default activation-aware int4 "
                              "calibration (weighted scales + bias "
                              "correction from a few train windows)")
+    parser.add_argument("--drift_budget", type=float, default=0.05,
+                        metavar="REL_L2",
+                        help="int8/int4 serving: abort when the loaded "
+                             "checkpoint's teacher-forced rel-L2 drift vs "
+                             "f32 exceeds this (measured on two test "
+                             "windows at load time; default 0.05)")
+    parser.add_argument("--no_drift_check", action="store_true",
+                        help="skip the per-checkpoint quantization drift "
+                             "gate (serve regardless of measured drift)")
     parser.add_argument("--mesh", default="auto",
                         help="device mesh for train modes: 'auto' (all "
                              "visible devices data-parallel when more than "
@@ -370,6 +379,7 @@ def main(argv=None):
             # rollout step; TP shards q/k/v per head, so the sharded path
             # keeps the unfused layout (utils.precision docstring).
             spatial_params = None
+            params_f32 = params  # retained for the per-checkpoint drift gate
             if args.precision == "bf16":
                 from sea_tpu.utils import precision as prec
                 if mesh is None:
@@ -408,6 +418,30 @@ def main(argv=None):
                 spatial_params = quantize(td.latent_service.params)
                 print(f"Serving precision: {args.precision} weights "
                       "(per-output-channel, rollout + decode)")
+            if args.precision in ("int8", "int4") \
+                    and not args.no_drift_check:
+                # Drift gate: quantization drift is a property of the
+                # LOADED checkpoint, not the config — numbers measured on
+                # other weights do not transfer (the rollout-space metric
+                # even moved the other way across round-3 checkpoints,
+                # BASELINE.md round-3c row). A teacher-forced forward on
+                # two test windows costs seconds and measures this
+                # checkpoint directly.
+                from sea_tpu.utils.precision import teacher_forced_drift
+                drift = teacher_forced_drift(
+                    params_f32, params, case.temporal,
+                    td.test.src, td.test.ib)
+                print(f"Per-checkpoint teacher-forced drift "
+                      f"({args.precision} vs f32): {drift:.4f} "
+                      f"(budget {args.drift_budget})")
+                if drift > args.drift_budget:
+                    parser.error(
+                        f"--precision {args.precision}: teacher-forced "
+                        f"drift {drift:.4f} on the loaded checkpoint "
+                        f"exceeds the budget {args.drift_budget}. Serve "
+                        "this checkpoint at higher precision, raise "
+                        "--drift_budget explicitly, or pass "
+                        "--no_drift_check to override.")
             tcfg = case.temporal
             # bf16 KV caches only pay at int4, where the weight stream no
             # longer dominates HBM traffic (+8.6%; they LOSE 3-5% for
@@ -444,15 +478,12 @@ def main(argv=None):
                     td.mesh_processor, spatial_params=spatial_params,
                     epoch=0, plot_traj=True, cache_dtype=cache_dtype,
                     mesh=mesh)
-            elif is_scan_incremental(tcfg):
-                # Serving path: rollout+decode+unpatch+metrics as one
-                # compiled on-device program (rollout/e2e.py).
+            else:
+                # Serving path: rollout+decode+unpatch+metrics on device
+                # (rollout/e2e.py). Engine selection inside (scan vs the
+                # bucketed prefix engine — f32 B=1 and every
+                # non-incremental config take prefix; engine.select_engine).
                 results = fused_autoregressive_evaluation(
-                    params, case, td.test, td.latent_service,
-                    td.mesh_processor, spatial_params=spatial_params,
-                    epoch=0, plot_traj=True, cache_dtype=cache_dtype)
-            else:  # staged fallback for non-scan-incremental configs
-                results = full_autoregressive_evaluation(
                     params, case, td.test, td.latent_service,
                     td.mesh_processor, spatial_params=spatial_params,
                     epoch=0, plot_traj=True, cache_dtype=cache_dtype)

@@ -349,10 +349,20 @@ def temporal_block(block, cfg: TemporalModelConfig, x_vars, ib, *, rng=None,
 
 def temporal_forward(params, cfg: TemporalModelConfig, x, ib, *, rng=None,
                      deterministic: bool = True, seq_mesh=None,
-                     seq_axis: str = "seq"):
+                     seq_axis: str = "seq", valid_len=None):
     """x: [B, T, G, E], ib: [B, T, ib_num] -> [B, T, G, E].
 
     TemporalModel.forward (temporal.py:405-416).
+
+    ``valid_len`` (scalar, may be traced): every attention masks keys at
+    positions >= valid_len and zeroes query outputs there
+    (ops/attention.attention_core), so a full-length forward equals the
+    reference's forward on the valid_len-long prefix exactly — including
+    for the NON-causal configs (ib_addition_mode='attention',
+    src_len != 0) where outputs genuinely depend on the prefix length.
+    Everything outside attention is per-token, so positions beyond the
+    prefix hold finite garbage that never feeds back. Used by the
+    bucketed prefix rollout engine (rollout/engine.py).
 
     ``seq_mesh``: optional jax.sharding.Mesh with a ``seq_axis`` axis —
     runs EVERY attention over T (self, SEA exchange, pool, ib) as ring
@@ -368,6 +378,8 @@ def temporal_forward(params, cfg: TemporalModelConfig, x, ib, *, rng=None,
     assert x.shape[2] == G, (x.shape, G)
     attn_kw = ({"impl": "ring", "mesh": seq_mesh, "seq_axis": seq_axis}
                if seq_mesh is not None else {})
+    if valid_len is not None:
+        attn_kw["valid_len"] = valid_len
     x_vars = [x[:, :, i, :] for i in range(G)]
     block_fn = temporal_block
     if cfg.remat:

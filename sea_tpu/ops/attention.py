@@ -74,24 +74,42 @@ def _project_qkv(params, x_q, x_kv):
 
 def attention_core(q, k, v, *, causal: bool, src_len: int = 0,
                    dropout_rate: float = 0.0, dropout_key=None,
-                   deterministic: bool = True):
+                   deterministic: bool = True, valid_len=None):
     """q: [B,Tq,H,hd], k/v: [B,Tk,H,hd] -> [B,Tq,H,hd].
 
     Plain XLA path; the Pallas flash kernel (ops/flash_attention.py) replaces
     this on TPU for long sequences. Kept as the reference implementation and
     CPU/test fallback.
+
+    ``valid_len`` (scalar, may be traced): restrict attention to the prefix
+    — keys at positions >= valid_len are masked out of the softmax and
+    query outputs at positions >= valid_len are zeroed. With it, a
+    full-length forward reproduces the reference's growing-prefix rollout
+    (train_utils.py:202-207) EXACTLY for the non-causal configurations
+    (unmasked ib-attention, src_len != 0) where trailing positions would
+    otherwise contaminate valid ones: masked keys cannot be attended, and
+    zeroing garbage query rows keeps every activation finite (an
+    all-masked softmax row is NaN otherwise, and 0 * NaN would poison
+    valid queries downstream through the next layer's k/v).
     """
     hd = q.shape[-1]
     scale = hd ** -0.5
     scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
                         preferred_element_type=jnp.float32) * scale
+    Tq, Tk = q.shape[1], k.shape[1]
     if causal:
-        Tq, Tk = q.shape[1], k.shape[1]
         qi = jnp.arange(Tq)[:, None]
         kj = jnp.arange(Tk)[None, :]
         mask = kj <= qi + src_len
         scores = jnp.where(mask[None, None], scores, NEG_INF)
+    if valid_len is not None:
+        kv_ok = jnp.arange(Tk) < valid_len
+        scores = jnp.where(kv_ok[None, None, None, :], scores, NEG_INF)
     probs = jax.nn.softmax(scores, axis=-1)
+    if valid_len is not None:
+        # All-masked rows (queries past the prefix) softmax to NaN; zero
+        # them so downstream layers see finite garbage, never NaN.
+        probs = jnp.where(jnp.isnan(probs), 0.0, probs)
     probs = _dropout(probs, dropout_rate, dropout_key, deterministic)
     out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v.dtype), v,
                      preferred_element_type=jnp.float32)
@@ -101,7 +119,7 @@ def attention_core(q, k, v, *, causal: bool, src_len: int = 0,
 def mha(params, x_q, x_kv, *, n_heads: int, causal: bool, rope: bool,
         src_len: int = 0, dropout_rate: float = 0.0, dropout_key=None,
         deterministic: bool = True, impl: str = "auto", mesh=None,
-        seq_axis: str = "seq"):
+        seq_axis: str = "seq", valid_len=None):
     """Full-sequence multi-head attention.
 
     x_q: [B, Tq, C]; x_kv: [B, Tk, C]. When ``rope`` is True the reference
@@ -113,6 +131,11 @@ def mha(params, x_q, x_kv, *, n_heads: int, causal: bool, rope: bool,
     the reference path), "ring" (sequence-parallel over ``mesh``'s
     ``seq_axis`` — T sharded across devices, k/v shards rotated over ICI
     with jax.lax.ppermute; parallel/ring_attention.py).
+
+    valid_len: optional (traced) scalar prefix length — see
+    attention_core. Forces the XLA path (the flash/ring kernels have no
+    dynamic key-validity mask); used by the masked bucketed prefix
+    rollout engine for non-causal configs.
     """
     B, Tq, C = x_q.shape
     q, k, v = _project_qkv(params, x_q, x_kv)
@@ -132,6 +155,9 @@ def mha(params, x_q, x_kv, *, n_heads: int, causal: bool, rope: bool,
         k = apply_rope(k, cos_k, sin_k)
 
     if impl == "ring":
+        if valid_len is not None:
+            raise ValueError("valid_len (masked prefix rollout) is not "
+                             "supported under ring attention")
         if mesh is None:
             raise ValueError("impl='ring' needs a jax.sharding.Mesh with a "
                              f"'{seq_axis}' axis (see parallel.mesh."
@@ -152,6 +178,8 @@ def mha(params, x_q, x_kv, *, n_heads: int, causal: bool, rope: bool,
         return linear(params["proj"], out)
 
     use_flash = False
+    if valid_len is not None:
+        impl = "xla"  # the flash kernel has no dynamic key-validity mask
     if impl == "flash":
         if dropout_rate > 0.0 and not deterministic and dropout_key is None:
             raise ValueError(
@@ -170,21 +198,45 @@ def mha(params, x_q, x_kv, *, n_heads: int, causal: bool, rope: bool,
         except ImportError:  # pragma: no cover
             use_flash = False
 
+    sharding_ctx = None
     if use_flash:
-        from sea_tpu.ops import flash_attention as _fa
-        if dropout_rate > 0.0 and not deterministic:
-            out = _fa.flash_attention(q, k, v, causal=causal,
-                                      src_len=src_len,
-                                      dropout_rate=dropout_rate,
-                                      dropout_seed=_key_to_seed(dropout_key))
+        from sea_tpu.ops.dispatch import kernel_sharding
+        sharding_ctx = kernel_sharding()
+        if sharding_ctx is not None:
+            from sea_tpu.parallel.kernel_shard import can_shard_attention
+            if not can_shard_attention(sharding_ctx, B, n_heads):
+                use_flash = False  # uneven shards: XLA partitions fine
+
+    if use_flash:
+        rate = dropout_rate if (dropout_rate > 0.0
+                                and not deterministic) else 0.0
+        seed = _key_to_seed(dropout_key) if rate > 0.0 else None
+        if sharding_ctx is not None:
+            # Multi-device GSPMD trace: run the kernel through shard_map
+            # over the mesh's (batch, head) axes — the single-chip kernel
+            # on each local shard, zero collectives, global-position
+            # dropout hash (parallel/kernel_shard.py).
+            from sea_tpu.parallel.kernel_shard import \
+                sharded_flash_attention
+            out = sharded_flash_attention(
+                sharding_ctx, q, k, v, causal=causal, src_len=src_len,
+                dropout_rate=rate, dropout_seed=seed)
         else:
-            out = _fa.flash_attention(q, k, v, causal=causal,
-                                      src_len=src_len)
+            from sea_tpu.ops import flash_attention as _fa
+            if rate > 0.0:
+                out = _fa.flash_attention(q, k, v, causal=causal,
+                                          src_len=src_len,
+                                          dropout_rate=rate,
+                                          dropout_seed=seed)
+            else:
+                out = _fa.flash_attention(q, k, v, causal=causal,
+                                          src_len=src_len)
     else:
         out = attention_core(q, k, v, causal=causal, src_len=src_len,
                              dropout_rate=dropout_rate,
                              dropout_key=dropout_key,
-                             deterministic=deterministic)
+                             deterministic=deterministic,
+                             valid_len=valid_len)
     out = out.reshape(B, Tq, C)
     return linear(params["proj"], out)
 
@@ -241,13 +293,33 @@ def mha_step(params, x_q_t, x_kv_t, cache, t, *, n_heads: int, rope: bool,
 
     from sea_tpu.ops.decode_attention import (decode_attention,
                                               decode_supported)
-    if src_len == 0 and decode_supported(B, T_max, n_heads, hd):
+    from sea_tpu.ops.dispatch import kernel_sharding
+    ctx = kernel_sharding()
+    B_loc, H_loc = B, n_heads
+    if ctx is not None:
+        # Multi-device GSPMD trace: gate on the per-device LOCAL shapes
+        # and dispatch through shard_map (parallel/kernel_shard.py).
+        from sea_tpu.parallel.kernel_shard import can_shard_attention
+        if can_shard_attention(ctx, B, n_heads):
+            nd = ctx.mesh.shape[ctx.batch_axis]
+            nm = ctx.mesh.shape[ctx.head_axis]
+            B_loc, H_loc = B // nd, n_heads // nm
+        else:
+            ctx = None
+    if src_len == 0 and (ctx is None or B_loc >= 1) \
+            and decode_supported(B_loc, T_max, H_loc, hd):
         # Fused flash-decode kernel: online softmax over the cache with
         # the k-block index clamped to position t via scalar prefetch —
         # blocks beyond t are never DMA'd, halving average cache traffic
         # over a rollout (ops/decode_attention.py; equality + A/B tested).
-        out = decode_attention(q.reshape(B, n_heads, hd), cache_k,
-                               cache_v, t)
+        if ctx is not None:
+            from sea_tpu.parallel.kernel_shard import \
+                sharded_decode_attention
+            out = sharded_decode_attention(ctx, q.reshape(B, n_heads, hd),
+                                           cache_k, cache_v, t)
+        else:
+            out = decode_attention(q.reshape(B, n_heads, hd), cache_k,
+                                   cache_v, t)
         out = out.astype(x_q_t.dtype).reshape(B, C)
         return linear(params["proj"], out), {"k": cache_k, "v": cache_v}
 

@@ -39,6 +39,11 @@ NEG_INF = -1e30
 
 _QROWS = 8  # sublane-pad the single query row
 
+# Tests only: force interpret-mode pallas_call through the public
+# decode_attention path (CPU has no Mosaic) — lets the shard_map-wrapped
+# serving path run on the virtual CPU mesh (tests/test_kernel_shard.py).
+_FORCE_INTERPRET = False
+
 
 def _decode_kernel(t_ref, q_ref, k_ref, v_ref, o_ref,
                    m_scratch, l_scratch, acc_scratch, *,
@@ -169,6 +174,7 @@ def decode_attention(q, cache_k, cache_v, t, *, block_k: int = 256,
     """
     B, H, hd = q.shape
     T = cache_k.shape[2]
+    interpret = interpret or _FORCE_INTERPRET
 
     def to_bh(x):
         return x.reshape(B * H, T, hd)

@@ -64,6 +64,12 @@ DEFAULT_BLOCK_Q = 512
 DEFAULT_BLOCK_K = 512
 NEG_INF = -1e30  # large finite negative: avoids NaN from (-inf) - (-inf)
 
+# Tests only: force interpret-mode pallas_call through the PUBLIC
+# flash_attention/custom-vjp path (CPU has no Mosaic). The sharded
+# kernel-dispatch tests (tests/test_kernel_shard.py) flip this to run the
+# exact shard_map-wrapped serving/training path on the virtual CPU mesh.
+_FORCE_INTERPRET = False
+
 
 # ---------------------------------------------------------------------------
 # Banded-grid machinery
@@ -167,11 +173,15 @@ def _dropout_scale_mask(seed_ref, bh, q_start, k_start, *, rate: float,
 # Forward
 # ---------------------------------------------------------------------------
 
-def _fwd_kernel(qi_ref, kj_ref, seed_ref, q_ref, k_ref, v_ref, o_ref,
-                lse_ref, m_scratch, l_scratch, acc_scratch, *, scale: float,
-                causal: bool, src_len: int, t_actual: int, block_q: int,
-                block_k: int, nk: int, dropout_rate: float):
-    bh = pl.program_id(0)
+def _fwd_kernel(qi_ref, kj_ref, seed_ref, bm_ref, q_ref, k_ref, v_ref,
+                o_ref, lse_ref, m_scratch, l_scratch, acc_scratch, *,
+                scale: float, causal: bool, src_len: int, t_actual: int,
+                block_q: int, block_k: int, nk: int, dropout_rate: float):
+    # bm_ref maps the LOCAL (batch*head) grid index to the GLOBAL one —
+    # identity single-device; under shard_map (parallel/kernel_shard.py)
+    # it carries mesh-axis offsets so the dropout hash keys on global
+    # (b, h) and the sharded mask is bit-identical to the unsharded one.
+    bh = bm_ref[pl.program_id(0)]
     t = pl.program_id(1)
     qi = qi_ref[t]
     kj = kj_ref[t]
@@ -236,12 +246,18 @@ def _fwd_kernel(qi_ref, kj_ref, seed_ref, q_ref, k_ref, v_ref, o_ref,
 def _flash_forward(q, k, v, *, causal: bool, src_len: int,
                    block_q: int, block_k: int, interpret: bool = False,
                    return_lse: bool = False, dropout_rate: float = 0.0,
-                   seed=None):
+                   seed=None, bh_map=None):
     """q: [B, Tq, H, hd]; k, v: [B, Tk, H, hd] -> [B, Tq, H, hd]
-    (+ log-sum-exp [B*H, Tq_padded, 1] when return_lse)."""
+    (+ log-sum-exp [B*H, Tq_padded, 1] when return_lse).
+
+    bh_map: int32 [B*H] local->global (batch*head) index map for the
+    dropout hash (identity when None); see _fwd_kernel."""
     B, Tq, H, hd = q.shape
     Tk = k.shape[1]
     scale = hd ** -0.5
+    interpret = interpret or _FORCE_INTERPRET
+    if bh_map is None:
+        bh_map = jnp.arange(B * H, dtype=jnp.int32)
 
     # [B, T, H, hd] -> [B*H, T, hd]
     def to_bh(x):
@@ -272,11 +288,11 @@ def _flash_forward(q, k, v, *, causal: bool, src_len: int,
               block_q=block_q, block_k=block_k, nk=nk,
               dropout_rate=dropout_rate)
     spec_q = pl.BlockSpec((1, block_q, hd),
-                          lambda b, t, qm, km, sd: (b, qm[t], 0))
+                          lambda b, t, qm, km, sd, bm: (b, qm[t], 0))
     spec_k = pl.BlockSpec((1, block_k, hd),
-                          lambda b, t, qm, km, sd: (b, km[t], 0))
+                          lambda b, t, qm, km, sd, bm: (b, km[t], 0))
     spec_lse = pl.BlockSpec((1, block_q, 1),
-                            lambda b, t, qm, km, sd: (b, qm[t], 0))
+                            lambda b, t, qm, km, sd, bm: (b, qm[t], 0))
 
     if return_lse:
         kernel = functools.partial(_fwd_kernel, **kw)
@@ -287,13 +303,13 @@ def _flash_forward(q, k, v, *, causal: bool, src_len: int,
         out_specs = (spec_q, spec_lse)
     else:
         kernel = functools.partial(
-            lambda *refs, **kws: _fwd_kernel(*refs[:7], None, *refs[7:],
+            lambda *refs, **kws: _fwd_kernel(*refs[:8], None, *refs[8:],
                                              **kws), **kw)
         out_shapes = jax.ShapeDtypeStruct((B * H, nq * block_q, hd), q.dtype)
         out_specs = spec_q
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(B * H, len(qi_map)),
         in_specs=[spec_q, spec_k, spec_k],
         out_specs=out_specs,
@@ -308,7 +324,7 @@ def _flash_forward(q, k, v, *, causal: bool, src_len: int,
         grid_spec=grid_spec,
         out_shape=out_shapes,
         interpret=interpret,
-    )(qi_map, kj_map, seed_arr, qb, kb, vb)
+    )(qi_map, kj_map, seed_arr, bh_map, qb, kb, vb)
 
     if return_lse:
         out, lse = res
@@ -378,10 +394,11 @@ def _recompute_p(q, k, lse, q_start, k_start, *, scale, causal, src_len,
     return jnp.where(mask, p, 0.0)
 
 
-def _bwd_dq_kernel(qi_ref, kj_ref, seed_ref, q_ref, k_ref, v_ref, do_ref,
-                   lse_ref, dsum_ref, dq_ref, acc, *, scale, causal, src_len,
-                   tq_actual, tk_actual, block_q, block_k, nk, dropout_rate):
-    bh = pl.program_id(0)
+def _bwd_dq_kernel(qi_ref, kj_ref, seed_ref, bm_ref, q_ref, k_ref, v_ref,
+                   do_ref, lse_ref, dsum_ref, dq_ref, acc, *, scale, causal,
+                   src_len, tq_actual, tk_actual, block_q, block_k, nk,
+                   dropout_rate):
+    bh = bm_ref[pl.program_id(0)]  # global (b, h) for the dropout hash
     t = pl.program_id(1)
     qi = qi_ref[t]
     kj = kj_ref[t]
@@ -413,11 +430,11 @@ def _bwd_dq_kernel(qi_ref, kj_ref, seed_ref, q_ref, k_ref, v_ref, do_ref,
         dq_ref[0] = acc[:].astype(dq_ref.dtype)
 
 
-def _bwd_dkv_kernel(qi_ref, kj_ref, seed_ref, q_ref, k_ref, v_ref, do_ref,
-                    lse_ref, dsum_ref, dk_ref, dv_ref, acc_dk, acc_dv, *,
-                    scale, causal, src_len, tq_actual, tk_actual, block_q,
-                    block_k, nq, dropout_rate):
-    bh = pl.program_id(0)
+def _bwd_dkv_kernel(qi_ref, kj_ref, seed_ref, bm_ref, q_ref, k_ref, v_ref,
+                    do_ref, lse_ref, dsum_ref, dk_ref, dv_ref, acc_dk,
+                    acc_dv, *, scale, causal, src_len, tq_actual, tk_actual,
+                    block_q, block_k, nq, dropout_rate):
+    bh = bm_ref[pl.program_id(0)]  # global (b, h) for the dropout hash
     t = pl.program_id(1)
     qi = qi_ref[t]
     kj = kj_ref[t]
@@ -464,10 +481,13 @@ def _bwd_dkv_kernel(qi_ref, kj_ref, seed_ref, q_ref, k_ref, v_ref, do_ref,
 
 def _flash_backward(q, k, v, out, lse, g, *, causal: bool, src_len: int,
                     block_q: int, block_k: int, interpret: bool = False,
-                    dropout_rate: float = 0.0, seed=None):
+                    dropout_rate: float = 0.0, seed=None, bh_map=None):
     B, Tq, H, hd = q.shape
     Tk = k.shape[1]
     scale = hd ** -0.5
+    interpret = interpret or _FORCE_INTERPRET
+    if bh_map is None:
+        bh_map = jnp.arange(B * H, dtype=jnp.int32)
 
     def to_bh(x):
         return x.transpose(0, 2, 1, 3).reshape(B * H, x.shape[1], hd)
@@ -498,11 +518,11 @@ def _flash_backward(q, k, v, out, lse, g, *, causal: bool, src_len: int,
               dropout_rate=dropout_rate)
 
     spec_q = pl.BlockSpec((1, block_q, hd),
-                          lambda b, t, qm, km, sd: (b, qm[t], 0))
+                          lambda b, t, qm, km, sd, bm: (b, qm[t], 0))
     spec_k = pl.BlockSpec((1, block_k, hd),
-                          lambda b, t, qm, km, sd: (b, km[t], 0))
+                          lambda b, t, qm, km, sd, bm: (b, km[t], 0))
     spec_row_q = pl.BlockSpec((1, block_q, 1),
-                              lambda b, t, qm, km, sd: (b, qm[t], 0))
+                              lambda b, t, qm, km, sd, bm: (b, qm[t], 0))
 
     # dQ: band ordered (qi, kj) — kj innermost for the dQ accumulator.
     qi_map, kj_map = _band_pairs(nq, nk, causal=causal, src_len=src_len,
@@ -511,7 +531,7 @@ def _flash_backward(q, k, v, out, lse, g, *, causal: bool, src_len: int,
     dq = pl.pallas_call(
         functools.partial(_bwd_dq_kernel, nk=nk, **kw),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,
+            num_scalar_prefetch=4,
             grid=(B * H, len(qi_map)),
             in_specs=[spec_q, spec_k, spec_k, spec_q, spec_row_q,
                       spec_row_q],
@@ -520,7 +540,7 @@ def _flash_backward(q, k, v, out, lse, g, *, causal: bool, src_len: int,
         ),
         out_shape=jax.ShapeDtypeStruct((B * H, nq * block_q, hd), q.dtype),
         interpret=interpret,
-    )(qi_map, kj_map, seed_arr, qb, kb, vb, dob, lse, dsum)
+    )(qi_map, kj_map, seed_arr, bh_map, qb, kb, vb, dob, lse, dsum)
 
     # dK/dV: band ordered (kj, qi) — qi innermost for the dK/dV accumulators.
     qi_map_t, kj_map_t = _band_pairs(nq, nk, causal=causal, src_len=src_len,
@@ -529,7 +549,7 @@ def _flash_backward(q, k, v, out, lse, g, *, causal: bool, src_len: int,
     dk, dv = pl.pallas_call(
         functools.partial(_bwd_dkv_kernel, nq=nq, **kw),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,
+            num_scalar_prefetch=4,
             grid=(B * H, len(qi_map_t)),
             in_specs=[spec_q, spec_k, spec_k, spec_q, spec_row_q,
                       spec_row_q],
@@ -542,7 +562,7 @@ def _flash_backward(q, k, v, out, lse, g, *, causal: bool, src_len: int,
             jax.ShapeDtypeStruct((B * H, nk * block_k, hd), v.dtype),
         ),
         interpret=interpret,
-    )(qi_map_t, kj_map_t, seed_arr, qb, kb, vb, dob, lse, dsum)
+    )(qi_map_t, kj_map_t, seed_arr, bh_map, qb, kb, vb, dob, lse, dsum)
 
     # Key columns entirely above the causal band have NO (qi, kj) pairs in
     # the banded grid: their output blocks are never written (the kernel's
@@ -566,8 +586,8 @@ def _flash_backward(q, k, v, out, lse, g, *, causal: bool, src_len: int,
 # Debug/oracle: materialize the exact in-kernel dropout mask
 # ---------------------------------------------------------------------------
 
-def _mask_kernel(seed_ref, m_ref, *, rate, block_q, block_k):
-    m_ref[0] = _dropout_scale_mask(seed_ref, pl.program_id(0),
+def _mask_kernel(seed_ref, bm_ref, m_ref, *, rate, block_q, block_k):
+    m_ref[0] = _dropout_scale_mask(seed_ref, bm_ref[pl.program_id(0)],
                                    pl.program_id(1) * block_q,
                                    pl.program_id(2) * block_k,
                                    rate=rate, shape=(block_q, block_k))
@@ -576,54 +596,60 @@ def _mask_kernel(seed_ref, m_ref, *, rate, block_q, block_k):
 def _dropout_mask_dense(BH: int, Tq: int, Tk: int, seed, rate: float, *,
                         block_q: int = DEFAULT_BLOCK_Q,
                         block_k: int = DEFAULT_BLOCK_K,
-                        interpret: bool = False):
+                        interpret: bool = False, bh_map=None):
     """[BH, Tq_pad, Tk_pad] scale mask identical to the kernels' (the hash
     is a pure function of logical positions, so this works in interpret
     mode too). Test/verification helper."""
     block_q = min(block_q, _round_up(Tq))
     block_k = min(block_k, _round_up(Tk))
     nq, nk = pl.cdiv(Tq, block_q), pl.cdiv(Tk, block_k)
+    if bh_map is None:
+        bh_map = jnp.arange(BH, dtype=jnp.int32)
     return pl.pallas_call(
         functools.partial(_mask_kernel, rate=rate, block_q=block_q,
                           block_k=block_k),
         grid=(BH, nq, nk),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM)],
         out_specs=pl.BlockSpec((1, block_q, block_k),
                                lambda b, i, j: (b, i, j)),
         out_shape=jax.ShapeDtypeStruct((BH, nq * block_q, nk * block_k),
                                        jnp.float32),
         interpret=interpret,
-    )(_as_seed(seed))
+    )(_as_seed(seed), bh_map)
 
 
 # ---------------------------------------------------------------------------
 # custom_vjp plumbing + public API
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
-def _flash_attention_p(q, k, v, seed, causal, src_len, dropout_rate,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+def _flash_attention_p(q, k, v, seed, bh_map, causal, src_len, dropout_rate,
                        block_q, block_k):
     return _flash_forward(q, k, v, causal=causal, src_len=src_len,
                           block_q=block_q, block_k=block_k,
-                          dropout_rate=dropout_rate, seed=seed)
+                          dropout_rate=dropout_rate, seed=seed,
+                          bh_map=bh_map)
 
 
-def _fwd(q, k, v, seed, causal, src_len, dropout_rate, block_q, block_k):
+def _fwd(q, k, v, seed, bh_map, causal, src_len, dropout_rate, block_q,
+         block_k):
     out, lse = _flash_forward(q, k, v, causal=causal, src_len=src_len,
                               block_q=block_q, block_k=block_k,
                               return_lse=True, dropout_rate=dropout_rate,
-                              seed=seed)
-    return out, (q, k, v, seed, out, lse)
+                              seed=seed, bh_map=bh_map)
+    return out, (q, k, v, seed, bh_map, out, lse)
 
 
 def _bwd(causal, src_len, dropout_rate, block_q, block_k, res, g):
-    q, k, v, seed, out, lse = res
+    q, k, v, seed, bh_map, out, lse = res
     dq, dk, dv = _flash_backward(q, k, v, out, lse, g, causal=causal,
                                  src_len=src_len, block_q=block_q,
                                  block_k=block_k, dropout_rate=dropout_rate,
-                                 seed=seed)
+                                 seed=seed, bh_map=bh_map)
     dseed = np.zeros(seed.shape, dtype=jax.dtypes.float0)
-    return dq, dk, dv, dseed
+    dbh = np.zeros(bh_map.shape, dtype=jax.dtypes.float0)
+    return dq, dk, dv, dseed, dbh
 
 
 _flash_attention_p.defvjp(_fwd, _bwd)
@@ -632,17 +658,26 @@ _flash_attention_p.defvjp(_fwd, _bwd)
 def flash_attention(q, k, v, causal: bool = True, src_len: int = 0,
                     block_q: int = DEFAULT_BLOCK_Q,
                     block_k: int = DEFAULT_BLOCK_K, *,
-                    dropout_rate: float = 0.0, dropout_seed=None):
+                    dropout_rate: float = 0.0, dropout_seed=None,
+                    bh_map=None):
     """Flash attention with optional in-kernel attention-prob dropout.
 
     dropout_seed: int32 array (any shape; first two words used) — required
     when dropout_rate > 0. Derive it from the step's PRNGKey so every train
-    step gets fresh masks."""
+    step gets fresh masks.
+
+    bh_map: int32 [B*H] local->global (batch*head) index map for the
+    dropout hash. Defaults to identity; parallel/kernel_shard.py passes
+    mesh-offset maps inside shard_map so a batch/head-sharded program
+    drops exactly the same probabilities as the single-device one."""
     if dropout_rate > 0.0 and dropout_seed is None:
         raise ValueError("flash_attention: dropout_rate > 0 requires a "
                          "dropout_seed (derive from the step PRNGKey)")
     seed = _as_seed(dropout_seed)
-    return _flash_attention_p(q, k, v, seed, causal, src_len,
+    B, _, H, _ = q.shape
+    if bh_map is None:
+        bh_map = jnp.arange(B * H, dtype=jnp.int32)
+    return _flash_attention_p(q, k, v, seed, bh_map, causal, src_len,
                               float(dropout_rate), block_q, block_k)
 
 

@@ -66,9 +66,29 @@ def linear(params, x):
     if "w_p4" in params:
         # int4 weight-only serving path (utils.precision.
         # quantize_weights_int4): packed-nibble Pallas matvec on TPU for
-        # serving shapes, jnp dequant + XLA dot otherwise.
-        from sea_tpu.ops.quant_matmul import int4_matmul
-        y = int4_matmul(x, params["w_p4"], params["w_s"])
+        # serving shapes, jnp dequant + XLA dot otherwise. Under a
+        # multi-device GSPMD trace (ops.dispatch.kernel_sharding) the
+        # kernel runs through shard_map on each device's batch shard —
+        # pure-DP meshes only (weights replicated); TP'd weights serve
+        # via the XLA dequant path inside int4_matmul's own gates.
+        import math as _math
+        from sea_tpu.ops.dispatch import kernel_sharding
+        from sea_tpu.ops.quant_matmul import int4_matmul, kernel_supported
+        ctx = kernel_sharding()
+        y = None
+        if ctx is not None and x.ndim > 1:
+            from sea_tpu.parallel.kernel_shard import (can_shard_int4,
+                                                       sharded_int4_matmul)
+            nd = ctx.mesh.shape[ctx.batch_axis]
+            # Only dim 0 is sharded; local rows = (B/nd) * middle dims.
+            rows_local = ((x.shape[0] // nd)
+                          * _math.prod(x.shape[1:-1], start=1))
+            if can_shard_int4(ctx, x.shape[0]) and kernel_supported(
+                    rows_local, x.shape[-1], params["w_p4"].shape[1]):
+                y = sharded_int4_matmul(ctx, x, params["w_p4"],
+                                        params["w_s"])
+        if y is None:
+            y = int4_matmul(x, params["w_p4"], params["w_s"])
     elif "w_q" in params:
         # int8 weight-only serving path (utils.precision.
         # quantize_weights_int8): widen int8 -> bf16 in-register, f32
@@ -212,10 +232,37 @@ def init_mlp(key, dim_in: int, *, scale_ratio: float = 4, dim_out=None,
     return {"layers": layers}
 
 
+def _tp_hidden_constraint(x):
+    """Pin an MLP hidden activation sharded over the TP ('model') axis
+    when tracing a multi-device program (ops.dispatch.kernel_sharding).
+
+    With the MLP weights Megatron-sharded (parallel/mesh._tp_mlp_spec),
+    GSPMD left alone may choose to all-gather the hidden activation for
+    the LayerNorm between the two linears; pinned sharded, the LN's
+    per-token mean/var over the hidden axis lowers to partial sums + a
+    2-scalar-per-token psum — the cheap distributed-LN form — and the
+    hidden activation (the widest tensor in the block, 8x the embed dim)
+    never materializes unsharded."""
+    from sea_tpu.ops.dispatch import kernel_sharding
+    ctx = kernel_sharding()
+    if ctx is None:
+        return x
+    nm = ctx.mesh.shape.get(ctx.head_axis, 1)
+    if nm <= 1 or x.shape[-1] % nm:
+        return x
+    from jax.sharding import NamedSharding, PartitionSpec
+    spec = PartitionSpec(*([None] * (x.ndim - 1) + [ctx.head_axis]))
+    return jax.lax.with_sharding_constraint(
+        x, NamedSharding(ctx.mesh, spec))
+
+
 def mlp(params, x, *, dropout_rate: float = 0.0, dropout_key=None,
         deterministic: bool = True):
-    for entry in params["layers"]:
+    n = len(params["layers"])
+    for i, entry in enumerate(params["layers"]):
         x = linear(entry["lin"], x)
+        if i == 0 and n >= 2 and "ln" in entry:
+            x = _tp_hidden_constraint(x)
         if "ln" in entry:
             # In the reference MLP, GELU always follows a hidden LayerNorm
             # (base_blocks.py:21-39), so activation is keyed on its presence

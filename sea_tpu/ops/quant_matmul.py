@@ -67,6 +67,10 @@ _VMEM_BUDGET = 13_000_000
 # the quantizers' min_size (smaller mats stay f32).
 _KERNEL_MIN_ELEMS = 1 << 16
 
+# Tests only: run the pallas matvec in interpret mode (CPU) so the
+# shard_map-wrapped serving path is testable on the virtual CPU mesh.
+_FORCE_INTERPRET = False
+
 
 def pack_int4(q):
     """int8 [K, N] with values in [-8, 7] -> packed uint8 [K//2, N].
@@ -117,8 +121,8 @@ def _pick_block_n(K: int, N: int):
     return None
 
 
-@functools.partial(jax.jit, static_argnames=("block_n",))
-def _mv_call(x, wp, s, *, block_n: int):
+@functools.partial(jax.jit, static_argnames=("block_n", "interpret"))
+def _mv_call(x, wp, s, *, block_n: int, interpret: bool = False):
     B, K = x.shape
     N = wp.shape[1]
     xs = x
@@ -132,6 +136,7 @@ def _mv_call(x, wp, s, *, block_n: int):
         ],
         out_specs=pl.BlockSpec((B, block_n), lambda j: (0, j)),
         out_shape=jax.ShapeDtypeStruct((B, N), jnp.float32),
+        interpret=interpret,
     )(xs, wp, s)
 
 
@@ -163,7 +168,8 @@ def int4_matmul(x, wp, s, *, force: str = None):
     if use_kernel:
         y = _mv_call(x2.astype(jnp.bfloat16), wp,
                      s.reshape(1, N).astype(jnp.float32),
-                     block_n=_pick_block_n(K, N))
+                     block_n=_pick_block_n(K, N),
+                     interpret=_FORCE_INTERPRET)
     else:
         # concat-free two-plane form: XLA fuses each plane's bit-ops into
         # its dot operand (a concat would materialize the full bf16

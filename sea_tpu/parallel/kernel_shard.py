@@ -1,0 +1,132 @@
+"""shard_map wrappers that keep the Pallas kernels active in multi-device
+GSPMD programs (round-3 VERDICT item 1).
+
+Pallas calls have no GSPMD partitioning rule, so a bare kernel inside a
+multi-device jit makes XLA all-gather its operands. But all three kernel
+families are embarrassingly parallel over (batch, head):
+
+- flash attention: each (b, h) attention matrix is independent,
+- flash-decode:    each (b, h) cache row is independent,
+- int4 matvec:     rows of the activation matrix are independent
+                   (weights replicated under pure data parallelism).
+
+So a shard_map over the mesh's (batch, head) axes runs the EXACT
+single-chip kernel on each device's local shard with ZERO collectives —
+GSPMD keeps doing global layout around it. These wrappers derive the
+specs from ops.dispatch.KernelSharding; ops/attention.py and
+ops/layers.py consult that context at trace time.
+
+Dropout correctness: the flash kernels hash (seed, batch*head, global
+q, global k) for their in-kernel masks. Under shard_map the local
+(b, h) indices restart at 0 per device, so the wrapper passes a
+local->global ``bh_map`` built from jax.lax.axis_index — the sharded
+program drops bit-identically to the single-device one (pinned by
+tests/test_kernel_shard.py).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from sea_tpu.ops.dispatch import KernelSharding
+
+
+def _axis_sizes(ctx: KernelSharding):
+    return (ctx.mesh.shape[ctx.batch_axis], ctx.mesh.shape[ctx.head_axis])
+
+
+def can_shard_attention(ctx: KernelSharding, batch: int, heads: int) -> bool:
+    """shard_map needs even shards; fall back to XLA attention otherwise."""
+    nd, nm = _axis_sizes(ctx)
+    return batch % nd == 0 and heads % nm == 0
+
+
+def _bh_map(ctx: KernelSharding, b_loc: int, h_loc: int, h_glob: int):
+    """Local (b*h) grid index -> global, from the device's mesh position."""
+    b0 = jax.lax.axis_index(ctx.batch_axis) * b_loc
+    h0 = jax.lax.axis_index(ctx.head_axis) * h_loc
+    return ((b0 + jnp.arange(b_loc, dtype=jnp.int32))[:, None] * h_glob
+            + (h0 + jnp.arange(h_loc, dtype=jnp.int32))[None, :]).reshape(-1)
+
+
+def sharded_flash_attention(ctx: KernelSharding, q, k, v, *, causal: bool,
+                            src_len: int = 0, dropout_rate: float = 0.0,
+                            dropout_seed=None):
+    """flash_attention with batch/head dims sharded over ctx.mesh.
+
+    q: [B, Tq, H, hd]; k, v: [B, Tk, H, hd] — B sharded over
+    ctx.batch_axis, H over ctx.head_axis, T/hd replicated (sequence
+    sharding goes through ring attention instead). Differentiable: the
+    custom-vjp backward runs inside the shard_map transpose, i.e. the
+    fused dQ/dK/dV kernels also execute shard-wise.
+    """
+    from sea_tpu.ops.flash_attention import _as_seed, flash_attention
+    nd, nm = _axis_sizes(ctx)
+    B, _, H, _ = q.shape
+    b_loc, h_loc = B // nd, H // nm
+    spec = P(ctx.batch_axis, None, ctx.head_axis, None)
+    seed = _as_seed(dropout_seed)
+
+    def body(q, k, v, seed):
+        return flash_attention(
+            q, k, v, causal=causal, src_len=src_len,
+            dropout_rate=dropout_rate, dropout_seed=seed,
+            bh_map=_bh_map(ctx, b_loc, h_loc, H))
+
+    # check_vma=False: pallas_call has no varying-mesh-axes rule.
+    return jax.shard_map(body, mesh=ctx.mesh,
+                         in_specs=(spec, spec, spec, P()),
+                         out_specs=spec, check_vma=False)(q, k, v, seed)
+
+
+def sharded_decode_attention(ctx: KernelSharding, q, cache_k, cache_v, t):
+    """decode_attention (fused single-token cache attention) with
+    batch/head dims sharded over ctx.mesh.
+
+    q: [B, H, hd]; cache_k/v: [B, H, T, hd] head-major. The kernel's
+    scalar-prefetch cache-block clamp (blocks beyond position t never
+    DMA'd) now applies per shard — the ~2x batched-serving win survives
+    --mesh serving instead of falling back to XLA cache attention.
+    """
+    from sea_tpu.ops.decode_attention import decode_attention
+    spec_q = P(ctx.batch_axis, ctx.head_axis, None)
+    spec_c = P(ctx.batch_axis, ctx.head_axis, None, None)
+
+    def body(q, ck, cv, t):
+        return decode_attention(q, ck, cv, t)
+
+    # check_vma=False: pallas_call has no varying-mesh-axes rule.
+    return jax.shard_map(body, mesh=ctx.mesh,
+                         in_specs=(spec_q, spec_c, spec_c, P()),
+                         out_specs=spec_q,
+                         check_vma=False)(q, cache_k, cache_v,
+                                          jnp.asarray(t, jnp.int32))
+
+
+def can_shard_int4(ctx: KernelSharding, rows: int) -> bool:
+    """The packed-nibble matvec shards over the batch axis with weights
+    REPLICATED — valid only for pure data parallelism (head/model axis of
+    size 1: under tensor parallelism the weight itself is sharded, which
+    needs a different decomposition; that path serves via XLA dequant,
+    ops/quant_matmul.py docstring)."""
+    nd, nm = _axis_sizes(ctx)
+    return nm == 1 and rows % nd == 0 and rows >= nd
+
+
+def sharded_int4_matmul(ctx: KernelSharding, x, wp, s):
+    """int4_matmul with x's leading (batch) dim sharded over
+    ctx.batch_axis and the packed weight/scale replicated. Each device
+    runs the single-chip kernel on its local rows — previously the
+    pallas call forced an all-gather of the sharded activations."""
+    from sea_tpu.ops.quant_matmul import int4_matmul
+    lead = (ctx.batch_axis,) + (None,) * (x.ndim - 1)
+
+    def body(x, wp, s):
+        return int4_matmul(x, wp, s)
+
+    # check_vma=False: pallas_call has no varying-mesh-axes rule.
+    return jax.shard_map(body, mesh=ctx.mesh,
+                         in_specs=(P(*lead), P(None, None), P(None)),
+                         out_specs=P(*lead), check_vma=False)(x, wp, s)

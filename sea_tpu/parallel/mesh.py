@@ -10,8 +10,14 @@ provides the TPU-native parallelism layer the north star demands:
 - ``shard_batch`` / ``replicate``: NamedSharding placement helpers.
 - ``temporal_param_shardings`` / ``spatial_param_shardings``: TP partition
   specs for the model weights (heads=8 divides cleanly across model axis).
-  MLPs stay replicated: the reference MLP has LayerNorms between hidden
-  layers, so hidden-dim TP would force a re-gather at every LN.
+  The per-field MLPs — the dominant weights (134M of 201M multiphase
+  params) — shard Megatron-style: first linear column-wise over 'model',
+  last linear row-wise (one all-reduce on its output, inserted by
+  GSPMD). The reference MLP's LayerNorm BETWEEN the hidden linears
+  (base_blocks.py:9-47) does NOT force a re-gather: its per-token
+  mean/var over the sharded hidden axis is a 2-scalar psum, which GSPMD
+  emits when ops/layers.mlp pins the hidden activation sharded
+  (with_sharding_constraint under the kernel-sharding context).
 
 Multi-host: call jax.distributed.initialize() before make_mesh; the mesh
 then spans all processes' devices (DCN between slices, ICI within).
@@ -107,6 +113,32 @@ def _tp_linear_spec(p, w_spec, b_spec):
     return spec
 
 
+def _tp_mlp_spec(p):
+    """Megatron sharding for one reference-MLP param dict (ops/layers.
+    init_mlp): first linear column-parallel (output/hidden dim over
+    'model'), last linear row-parallel (input dim over 'model', GSPMD
+    inserts the single all-reduce on its output), hidden LayerNorm
+    weight/bias sharded with the hidden activation. Middle linears of a
+    deeper MLP (num_layers > 2 — no shipped config) stay replicated:
+    [8D, 8D] hidden-to-hidden would need its own re-gather either way."""
+    layers = p["layers"]
+    n = len(layers)
+    out = []
+    for i, entry in enumerate(layers):
+        e = {}
+        if n >= 2 and i == 0:
+            e["lin"] = _tp_linear_spec(entry["lin"], P(None, "model"),
+                                       P("model"))
+            if "ln" in entry:
+                e["ln"] = {k: P("model") for k in entry["ln"]}
+        elif n >= 2 and i == n - 1:
+            e["lin"] = _tp_linear_spec(entry["lin"], P("model", None), P())
+        else:
+            e = jax.tree.map(lambda _: P(), entry)
+        out.append(e)
+    return {"layers": out}
+
+
 def _tp_attention_spec(p):
     """q/k/v project [D, D=H*hd]: shard the head (output) dim; the output
     projection [D, D] shards its input dim — the contraction then needs one
@@ -124,6 +156,9 @@ def temporal_param_shardings(mesh: Mesh, params):
     sharded over 'model', everything else replicated."""
     def map_block(block):
         spec = jax.tree.map(lambda _: P(), block)
+        # Per-field MLPs: the dominant weights (134M of 201M multiphase
+        # params) — Megatron col/row sharding with a distributed hidden LN.
+        spec["mlp"] = [_tp_mlp_spec(p) for p in block["mlp"]]
         for key in ("self_attn", "cross_attn_ib"):
             if key in block:
                 spec[key] = [_tp_attention_spec(p) for p in block[key]]

@@ -25,7 +25,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec
 from sea_tpu.configs.base import SpatialModelConfig, TemporalModelConfig
 from sea_tpu.models.spatial import spatial_forward
 from sea_tpu.models.temporal import temporal_forward
-from sea_tpu.ops.dispatch import attention_kernels_disabled
+from sea_tpu.ops.dispatch import attention_kernel_sharding
 from sea_tpu.parallel.mesh import (shard_batch, spatial_param_shardings,
                                    temporal_param_shardings)
 from sea_tpu.rollout.engine import rollout_scan
@@ -97,9 +97,11 @@ def make_sharded_temporal_train_step(mesh: Mesh, cfg: TemporalModelConfig,
     def step(params, opt_state, src, tgt, ib, rng):
         def loss_fn(p):
             s, i = cast_x(src, ib)
-            # Pallas attention has no GSPMD partitioning rule — force the
-            # XLA path when this trace spans devices (ops/dispatch.py).
-            with attention_kernels_disabled(mesh.size > 1):
+            # Multi-device trace: Pallas attention dispatches through
+            # shard_map over (data, model) — the single-chip kernels run
+            # on local (batch, head) shards with zero collectives and a
+            # global-position dropout hash (parallel/kernel_shard.py).
+            with attention_kernel_sharding(mesh if mesh.size > 1 else None):
                 out = temporal_forward(p, cfg, s, i, rng=rng,
                                        deterministic=False)
             return M.mse(out.astype(jnp.float32), tgt)
@@ -152,9 +154,8 @@ def make_sharded_spatial_train_step(mesh: Mesh, cfg: SpatialModelConfig,
             p = cast_p(p)
             (x,) = cast_x(batch)
             # Shipped spatial shapes never reach flash_supported's T
-            # floor, but keep the multi-device GSPMD trace kernel-free
-            # uniformly (ops/dispatch.py).
-            with attention_kernels_disabled(mesh.size > 1):
+            # floor; the sharding context is a no-op until they do.
+            with attention_kernel_sharding(mesh if mesh.size > 1 else None):
                 if cfg.variational:
                     recon, mu, logvar = spatial_forward(
                         p, cfg, x, rng=rng, deterministic=False)
@@ -256,9 +257,11 @@ def make_sharded_rollout(mesh: Mesh, cfg: TemporalModelConfig, params,
 
     @jax.jit
     def run(params, x0, ib):
-        # Pallas (flash-decode) has no GSPMD partitioning rule — force the
-        # XLA cache attention when this trace spans devices.
-        with attention_kernels_disabled(mesh.size > 1):
+        # Multi-device trace: the flash-decode kernel and the int4 matvec
+        # dispatch through shard_map on local (batch, head) shards
+        # (parallel/kernel_shard.py) — sharded serving keeps the kernels'
+        # measured wins instead of falling back to XLA cache attention.
+        with attention_kernel_sharding(mesh if mesh.size > 1 else None):
             return rollout_scan(params, cfg, x0, ib,
                                 cache_dtype=cache_dtype)
 

@@ -55,20 +55,40 @@ def make_e2e_rollout_eval(tcfg: TemporalModelConfig,
             "mode incl. pool qualifies); use "
             "train.evaluate.full_autoregressive_evaluation, whose engine "
             "dispatches to the prefix-recompute fallback for these")
-    decode = make_decode_chain(scfg, part, sea_layout=sea_layout,
-                               scalers=scalers, field_groups=field_groups)
+    tail = make_eval_tail(scfg, part, sea_layout=sea_layout,
+                          scalers=scalers, field_groups=field_groups,
+                          jit=False)
 
     @jax.jit
     def run(tparams, sparams, x0, ib, truth, tgt_lat):
         preds = rollout_scan(tparams, tcfg, x0, ib,
                              cache_dtype=cache_dtype)  # [B,T,G,E]
+        return tail(sparams, preds, truth, tgt_lat)
+
+    return run
+
+
+def make_eval_tail(scfg: SpatialModelConfig, part: PartitionIndex, *,
+                   sea_layout: str = "isolate", scalers=None,
+                   field_groups=None, jit: bool = True):
+    """Evaluation tail shared by the fused program and the prefix-engine
+    serving path: fn(sparams, preds [B,T,G,E], truth [B,T,N,F],
+    tgt_lat [B,T,G,E]) -> (decoded fields, rel-MSE per (B,T,F), encoded
+    rel-MSE scalar). With ``jit`` it is its own compiled program — the
+    prefix rollout engine is a chunked multi-program pipeline, so its
+    serving path runs [prefix chunks] -> [this tail] entirely on device
+    with no host bounce in between."""
+    decode = make_decode_chain(scfg, part, sea_layout=sea_layout,
+                               scalers=scalers, field_groups=field_groups)
+
+    def tail(sparams, preds, truth, tgt_lat):
         enc_rel = jnp.mean(M.relative_mse(preds.astype(jnp.float32),
                                           tgt_lat))
         fields = decode(sparams, preds)  # [B,T,N,F]
         rel = M.relative_mse_with_time(fields, truth, axis=2)  # [B,T,F]
         return fields, rel, enc_rel
 
-    return run
+    return jax.jit(tail) if jit else tail
 
 
 def make_decode_chain(scfg: SpatialModelConfig, part: PartitionIndex, *,

@@ -66,9 +66,10 @@ def rollout_jit(params, cfg: TemporalModelConfig, x0, ib,
 
 def rollout_prefix_recompute(params, cfg: TemporalModelConfig, x0, ib):
     """Reference-fidelity rollout: re-run the full model on the growing
-    prefix each step (train_utils.py:202-207). O(T^2) forward tokens; kept
-    as the equivalence oracle and as the fallback for the non-causal
-    configurations listed in ``rollout``."""
+    prefix each step (train_utils.py:202-207). T distinct compile shapes;
+    kept as the equivalence ORACLE only — the dispatcher serves non-causal
+    configs with the masked bucketed engine, which is exactly equivalent
+    (tests/test_rollout.py) and compiles ~T/bucket programs instead."""
     T = ib.shape[1]
     autoreg = x0[:, None]  # [B, 1, G, E]
     for i in range(T):
@@ -77,13 +78,41 @@ def rollout_prefix_recompute(params, cfg: TemporalModelConfig, x0, ib):
     return autoreg[:, 1:]
 
 
+@functools.lru_cache(maxsize=64)
+def _prefix_chunk(cfg: TemporalModelConfig, masked: bool):
+    """Jitted per-(cfg, masked) chunk runner for the bucketed prefix engine
+    — module-level-cached so repeated rollouts (training-loop validation,
+    eval epochs) reuse the traced/compiled programs instead of re-tracing
+    a fresh closure every call."""
+    @functools.partial(jax.jit, static_argnames=("L", "i1"))
+    def chunk(p, buf, ib_all, i0, *, L, i1):
+        def body(i, buf):
+            out = temporal_forward(p, cfg, buf[:, :L], ib_all[:, :L],
+                                   valid_len=(i + 1) if masked else None)
+            y = jax.lax.dynamic_index_in_dim(out, i, axis=1, keepdims=True)
+            return jax.lax.dynamic_update_slice_in_dim(buf, y, i + 1,
+                                                       axis=1)
+        return jax.lax.fori_loop(i0, i1, body, buf)
+    return chunk
+
+
 def rollout_prefix_bucketed(params, cfg: TemporalModelConfig, x0, ib, *,
                             bucket: int = 64):
     """Compile-friendly prefix-recompute: the reference's strategy with
     prefix lengths rounded up to ``bucket`` multiples, so the whole rollout
     is ~T/bucket compiled programs (a fori_loop each) instead of T distinct
-    shapes. Step i runs a full forward on the first L >= i+1 positions —
-    causality makes trailing garbage irrelevant to position i's output.
+    shapes. Step i runs a full forward on the first L >= i+1 positions.
+
+    For causal configs (is_scan_incremental) trailing garbage is
+    irrelevant to position i's output and the forward runs unmasked. For
+    the NON-causal configs (ib_addition_mode='attention', src_len != 0)
+    a bare padded forward would be WRONG — unmasked ib-attention would
+    read future ib positions and src_len lets tokens attend forward into
+    garbage — so the forward runs with valid_len = i+1: every attention
+    masks keys past the prefix and zeroes garbage query rows
+    (ops/attention.attention_core), reproducing the reference's
+    growing-prefix semantics (train_utils.py:202-207) exactly with
+    static shapes.
 
     Why keep a second serving engine: at B=1 the scan engine is bound by
     streaming the weights from HBM once per step, while this engine reads
@@ -92,19 +121,10 @@ def rollout_prefix_bucketed(params, cfg: TemporalModelConfig, x0, ib, *,
     scan for the f32 cylinder preset (2864 vs 1912 steps/s) and within a
     few % at bf16, where halved streaming restores the scan's edge. Scan
     stays the default (wins at reduced precision, batched serving, and
-    long T); pick this for f32 single-trajectory latency.
+    long T); ``rollout(engine='auto')`` picks this for f32
+    single-trajectory serving (select_engine).
     """
-    import functools as _ft
-
-    @_ft.partial(jax.jit, static_argnames=("L", "i1"))
-    def chunk(p, buf, ib_all, i0, *, L, i1):
-        def body(i, buf):
-            out = temporal_forward(p, cfg, buf[:, :L], ib_all[:, :L])
-            y = jax.lax.dynamic_index_in_dim(out, i, axis=1, keepdims=True)
-            return jax.lax.dynamic_update_slice_in_dim(buf, y, i + 1,
-                                                       axis=1)
-        return jax.lax.fori_loop(i0, i1, body, buf)
-
+    chunk = _prefix_chunk(cfg, not is_scan_incremental(cfg))
     B = x0.shape[0]
     T = ib.shape[1]
     buf = jnp.zeros((B, T + 1) + x0.shape[1:], x0.dtype)
@@ -136,16 +156,66 @@ def is_scan_incremental(cfg: TemporalModelConfig) -> bool:
     return cfg.ib_addition_mode != "attention" and cfg.src_len == 0
 
 
+# select_engine policy constants, pinned by tests/test_rollout.py.
+# Measured basis (tools/bench_scan_vs_prefix.py on one v5e, BASELINE.md
+# "Scan vs prefix" table): the prefix engine wins only where the scan
+# step is weight-streaming-bound — full-precision weights at trajectory
+# batch 1 (1.5x cylinder, 1.51x multiphase). Reduced-precision weights
+# (bf16/int8/int4) stream half or less and the scan wins; batching
+# amortizes the weight stream over B; and the prefix engine's O(T^2)
+# token work loses at long horizons regardless.
+PREFIX_MAX_BATCH = 1
+PREFIX_MAX_T = 512
+
+
+def weights_f32(params) -> bool:
+    """True when every param leaf is float32 — i.e. no serving cast
+    (bf16) or quantization (int8/int4 pack) has been applied."""
+    return all(getattr(leaf, "dtype", None) == jnp.float32
+               for leaf in jax.tree.leaves(params))
+
+
+def select_engine(cfg: TemporalModelConfig, batch: int, horizon: int,
+                  params) -> str:
+    """Serving-engine policy: 'scan' or 'prefix'.
+
+    Non-incremental configs (attention-mode ib, src_len != 0) MUST use
+    the (masked, exact) prefix engine. Incremental configs use scan
+    except the one measured regime where prefix is ~1.5x faster: f32
+    weights, single trajectory, shipped-scale horizon (constants above).
+    """
+    if not is_scan_incremental(cfg):
+        return "prefix"
+    if (batch <= PREFIX_MAX_BATCH and horizon <= PREFIX_MAX_T
+            and weights_f32(params)):
+        return "prefix"
+    return "scan"
+
+
 def rollout(params, cfg: TemporalModelConfig, x0, ib, *,
-            cache_dtype=jnp.float32):
-    """Dispatch: scan engine when the model is incrementally computable
-    (is_scan_incremental), prefix recompute otherwise.
+            cache_dtype=jnp.float32, engine: str = "auto"):
+    """Engine dispatch — the single serving-policy point the CLI, the
+    fused e2e eval, and the training-loop validation all inherit.
+
+    engine: 'auto' (select_engine policy), 'scan', 'prefix' (bucketed,
+    masked-exact for non-causal configs), or 'prefix_recompute' (the
+    T-distinct-shapes reference oracle; tests only).
 
     cache_dtype: KV-cache storage dtype (scan engine only). bf16 caches
     are the int4-serving default — they buy +8.6% there, where the
     weight stream no longer dominates, and LOSE 3-5% for bf16w/int8w
     weights (measured, BASELINE.md), so f32 stays the default.
     """
-    if not is_scan_incremental(cfg):
+    if engine == "auto":
+        engine = select_engine(cfg, x0.shape[0], ib.shape[1], params)
+    if engine == "scan":
+        if not is_scan_incremental(cfg):
+            raise ValueError(
+                "engine='scan' requires a scan-incremental config "
+                "(no attention ib-conditioning, src_len == 0)")
+        return rollout_jit(params, cfg, x0, ib, cache_dtype)
+    if engine == "prefix":
+        return rollout_prefix_bucketed(params, cfg, x0, ib)
+    if engine == "prefix_recompute":
         return rollout_prefix_recompute(params, cfg, x0, ib)
-    return rollout_jit(params, cfg, x0, ib, cache_dtype)
+    raise ValueError(f"unknown engine {engine!r}")

@@ -182,27 +182,46 @@ def fused_autoregressive_evaluation(params, case: CaseConfig, windows,
     compiled on-device program (rollout/e2e.py) — no host bounce between
     stages (the reference bounces latents GPU->CPU->GPU,
     train_utils.py:220-230). Same metrics/artifacts contract as
-    full_autoregressive_evaluation; requires a scan-incremental config
-    (both shipped presets are; the staged path remains the fallback for
-    attention-mode ib / src_len != 0).
+    full_autoregressive_evaluation. Handles EVERY config: non-incremental
+    ones (attention-mode ib / src_len != 0) dispatch to the masked
+    bucketed prefix engine (exact reference semantics) + the compiled
+    tail below.
 
     ``spatial_params`` overrides the latent service's decoder weights —
     the CLI passes reduced-precision (bf16/int8) casts here so
     ``--precision`` applies end-to-end (temporal rollout AND decode).
+
+    Engine selection (rollout.engine.select_engine) applies here too:
+    for f32 weights at trajectory batch 1, the rollout runs on the
+    bucketed prefix engine (~1.5x faster on-chip, BASELINE.md) followed
+    by the same compiled decode/metrics tail — device-resident
+    throughout, identical metrics.
     """
-    from sea_tpu.rollout.e2e import make_e2e_rollout_eval
-    run = make_e2e_rollout_eval(
-        case.temporal, latent_service.cfg, mesh_processor.partition,
-        sea_layout=case.run.sea_layout, scalers=mesh_processor.scalers,
-        field_groups=mesh_processor.field_groups, cache_dtype=cache_dtype)
+    from sea_tpu.rollout.e2e import make_e2e_rollout_eval, make_eval_tail
+    from sea_tpu.rollout.engine import rollout, select_engine
     sparams = spatial_params if spatial_params is not None \
         else latent_service.params
     src = jnp.asarray(windows.src)
     ib = jnp.asarray(windows.ib)
     original = np.asarray(windows.tgt_original)
-    fields, rel, enc_rel = run(params, sparams, src[:, 0], ib,
-                               jnp.asarray(original),
-                               jnp.asarray(windows.tgt))
+    engine = select_engine(case.temporal, src.shape[0], ib.shape[1], params)
+    if engine == "scan":
+        run = make_e2e_rollout_eval(
+            case.temporal, latent_service.cfg, mesh_processor.partition,
+            sea_layout=case.run.sea_layout, scalers=mesh_processor.scalers,
+            field_groups=mesh_processor.field_groups,
+            cache_dtype=cache_dtype)
+        fields, rel, enc_rel = run(params, sparams, src[:, 0], ib,
+                                   jnp.asarray(original),
+                                   jnp.asarray(windows.tgt))
+    else:  # prefix engine: chunked rollout programs + compiled tail
+        preds = rollout(params, case.temporal, src[:, 0], ib, engine=engine)
+        tail = make_eval_tail(
+            latent_service.cfg, mesh_processor.partition,
+            sea_layout=case.run.sea_layout, scalers=mesh_processor.scalers,
+            field_groups=mesh_processor.field_groups)
+        fields, rel, enc_rel = tail(sparams, preds, jnp.asarray(original),
+                                    jnp.asarray(windows.tgt))
     per_time = np.asarray(rel).mean(axis=0)  # [T, F]
     decoded_rel_mse = float(per_time.mean())
     if save_artifacts and is_primary():

@@ -70,8 +70,42 @@ class WandbErrorTracker(BaseErrorTracker):
             log[f"{phase}/{key}"] = value
         self.wandb.log(log)
 
+    def log_model(self, model=None, criterion=None, optimizer=None) -> None:
+        """wandb.watch equivalent (reference utils/train_utils.py:75-76).
+
+        There is no nn.Module to hook in functional JAX — ``model`` is a
+        param pytree — so this records the model's static description
+        (total param count, per-tensor count, criterion/optimizer names)
+        to the run config once; the gradient/parameter norm STREAM that
+        wandb.watch would produce flows through record_error instead
+        (TrainConfig.log_per_tensor -> train steps' per-tensor
+        Grad_Norm/* and Param_Norm/* metrics, metrics.per_tensor_norms).
+        """
+        info = {}
+        if model is not None:
+            import numpy as np
+            leaves = [l for l in _tree_leaves(model)
+                      if hasattr(l, "shape")]
+            info["model/num_tensors"] = len(leaves)
+            info["model/num_params"] = int(sum(
+                int(np.prod(l.shape)) for l in leaves))
+        if criterion is not None:
+            info["model/criterion"] = str(criterion)
+        if optimizer is not None:
+            info["model/optimizer"] = (
+                optimizer if isinstance(optimizer, str)
+                else getattr(optimizer, "name", None)
+                or type(optimizer).__name__)
+        if info:
+            self.run.config.update(info, allow_val_change=True)
+
     def finish(self):
         self.wandb.finish()
+
+
+def _tree_leaves(tree):
+    import jax
+    return jax.tree.leaves(tree)
 
 
 class MultiTracker(BaseErrorTracker):
@@ -81,6 +115,10 @@ class MultiTracker(BaseErrorTracker):
     def record_error(self, phase, epoch, metrics):
         for t in self.trackers:
             t.record_error(phase, epoch, metrics)
+
+    def log_model(self, model=None, criterion=None, optimizer=None):
+        for t in self.trackers:
+            t.log_model(model, criterion, optimizer)
 
     def finish(self):
         for t in self.trackers:

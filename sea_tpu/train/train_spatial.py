@@ -169,6 +169,11 @@ def train(case: CaseConfig,
     params = init_params if init_params is not None \
         else init_spatial(init_key, cfg)
     tx = make_optimizer(tcfg)
+    # Reference train_encoder.py:196: register the model with the tracker
+    # (wandb.watch equivalent — static description + per-tensor norm
+    # stream; see tracking.WandbErrorTracker.log_model).
+    tracker.log_model(params, "Vloss" if cfg.variational else "MSE",
+                      tcfg.optimizer)
 
     # KL-anneal horizon follows the *actual* epoch count (``epochs``
     # overrides the config), matching total_steps semantics at

@@ -210,6 +210,9 @@ def train(case: CaseConfig,
     params = init_params if init_params is not None \
         else init_temporal(init_key, cfg)
     tx = make_optimizer(tcfg)
+    # Reference train_temporal.py:243: register the model with the tracker
+    # (wandb.watch equivalent, tracking.WandbErrorTracker.log_model).
+    tracker.log_model(params, "MSE", tcfg.optimizer)
     batch_size = tcfg.batch_size
     if mesh is not None:
         n_data = mesh.shape["data"]

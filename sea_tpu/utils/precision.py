@@ -309,3 +309,26 @@ def cast_weights_bf16(tree, min_size: int = 1 << 16):
         return node
 
     return walk(tree)
+
+
+def teacher_forced_drift(params_ref, params_reduced, cfg, src, ib,
+                         *, max_windows: int = 2) -> float:
+    """Per-step (teacher-forced) relative L2 between a reference and a
+    reduced-precision temporal model on the SAME inputs — the chaos-free
+    fidelity metric for reduced-precision serving (an autoregressive
+    rollout amplifies per-step noise exponentially, so rollout-space
+    rel-L2 measures "same trajectory", not fidelity; measured 2026-08-19,
+    see tools/measure_bf16_drift.py and BASELINE.md round-3c row).
+
+    src: [B, T, G, E] latent windows; ib: [B, T, ib_num]. Uses at most
+    ``max_windows`` windows — a seconds-long forward at serving shapes,
+    cheap enough to run per loaded checkpoint (the CLI's --precision
+    drift gate; drift is a property of the CHECKPOINT, not the config,
+    so numbers measured on other weights do not transfer)."""
+    from sea_tpu.models.temporal import temporal_forward
+    s = jnp.asarray(src[:max_windows])
+    i = jnp.asarray(ib[:max_windows])
+    ref = temporal_forward(params_ref, cfg, s, i).astype(jnp.float32)
+    red = temporal_forward(params_reduced, cfg, s, i).astype(jnp.float32)
+    return float(jnp.linalg.norm(red - ref)
+                 / (jnp.linalg.norm(ref) + 1e-8))

@@ -157,16 +157,52 @@ def test_cli_fused_serving_with_precision(tmp_path, capsys):
     # int4 serves through the same fused program (packed-nibble w_p4
     # storage, per-call kernel/XLA dispatch — utils/precision.py).
     cli.main(["cylinder_flow_smoke", "temporal", "test", "--synthetic",
-              "--save_dir", save, "--precision", "int4"])
+              "--save_dir", save, "--precision", "int4",
+              "--no_drift_check"])
     out = capsys.readouterr().out
     assert "int4 weights" in out and "decoded_rel_mse" in out
     # single-chip int4 serving calibrates by default (activation-aware
     # scales + bias correction, utils/calibration.py); opt-out flag works
     assert "int4 calibration" in out
     cli.main(["cylinder_flow_smoke", "temporal", "test", "--synthetic",
-              "--save_dir", save, "--precision", "int4", "--no_calibrate"])
+              "--save_dir", save, "--precision", "int4", "--no_calibrate",
+              "--no_drift_check"])
     out = capsys.readouterr().out
     assert "int4 weights" in out and "int4 calibration" not in out
+
+
+@pytest.mark.heavy
+def test_cli_precision_drift_gate(tmp_path, capsys):
+    """VERDICT r3 item 7: quantized serving measures the LOADED
+    checkpoint's teacher-forced drift at load time (drift numbers do not
+    transfer between checkpoints) and aborts over budget with an
+    actionable message; --no_drift_check opts out."""
+    save = str(tmp_path)
+    cli.main(["cylinder_flow_smoke", "encoder", "train", "--synthetic",
+              "--epochs", "1", "--save_dir", save, "--mesh", "none"])
+    cli.main(["cylinder_flow_smoke", "temporal", "train", "--synthetic",
+              "--epochs", "1", "--save_dir", save, "--mesh", "none"])
+    capsys.readouterr()
+    # Generous budget: gate prints the measured drift and serving runs.
+    cli.main(["cylinder_flow_smoke", "temporal", "test", "--synthetic",
+              "--save_dir", save, "--precision", "int8",
+              "--drift_budget", "1.0"])
+    out = capsys.readouterr().out
+    assert "teacher-forced drift" in out and "decoded_rel_mse" in out
+    # Impossible budget: abort before any rollout, with the override hint.
+    with pytest.raises(SystemExit):
+        cli.main(["cylinder_flow_smoke", "temporal", "test", "--synthetic",
+                  "--save_dir", save, "--precision", "int8",
+                  "--drift_budget", "1e-9"])
+    captured = capsys.readouterr()
+    assert "exceeds the budget" in captured.err
+    assert "decoded_rel_mse" not in captured.out
+    # Explicit opt-out skips the measurement entirely.
+    cli.main(["cylinder_flow_smoke", "temporal", "test", "--synthetic",
+              "--save_dir", save, "--precision", "int8",
+              "--no_drift_check"])
+    out = capsys.readouterr().out
+    assert "teacher-forced drift" not in out and "decoded_rel_mse" in out
 
 
 @requires_8

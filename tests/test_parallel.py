@@ -291,3 +291,63 @@ def test_temporal_shadow_sharded_matches_single_device():
     for a, b in zip(jax.tree.leaves(o8.shadow),
                     jax.tree.leaves(to_bf16(p8))):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@requires_8
+def test_tp_shards_mlp_weights_and_halves_param_bytes():
+    """VERDICT r3 item 2: the per-field MLPs (the dominant weights — 134M
+    of 201M multiphase params) must shard over 'model' with the hidden
+    LayerNorm distributed, not replicated. Pins the Megatron col/row
+    specs and measures per-device parameter bytes dropping under TP."""
+    from jax.sharding import PartitionSpec as P
+    from sea_tpu.parallel.mesh import temporal_param_shardings
+
+    # scale_ratio=8 like the shipped presets, so the MLPs dominate the
+    # param count the way they do at full size (134M of 201M).
+    cfg = TemporalModelConfig(num_layers=1, embed_dim=64, n_heads=2,
+                              block_size=64, scale_ratio=8, num_fields=2,
+                              down_proj=2, dropout=0.0, exchange_mode="sea",
+                              ib_scale_mode="mlp", ib_addition_mode="add",
+                              ln_type="ln")
+    params = init_temporal(jax.random.PRNGKey(0), cfg)
+
+    def per_device_bytes(shardings):
+        total = 0
+        for leaf, sh in zip(jax.tree.leaves(params),
+                            jax.tree.leaves(shardings)):
+            total += int(np.prod(sh.shard_shape(leaf.shape))) * leaf.itemsize
+        return total
+
+    tp = temporal_param_shardings(make_mesh(4, 2), params)
+    mlp_specs = tp["blocks"][0]["mlp"][0]["layers"]
+    assert mlp_specs[0]["lin"]["w"].spec == P(None, "model")  # col-parallel
+    assert mlp_specs[0]["lin"]["b"].spec == P("model")
+    assert mlp_specs[0]["ln"]["w"].spec == P("model")  # distributed LN
+    assert mlp_specs[-1]["lin"]["w"].spec == P("model", None)  # row-parallel
+    assert mlp_specs[-1]["lin"]["b"].spec == P()
+
+    dp = temporal_param_shardings(make_mesh(8, 1), params)
+    bytes_tp = per_device_bytes(tp)
+    bytes_dp = per_device_bytes(dp)
+    # attention q/k/v/proj AND both MLP linears shard 2-way; only norms,
+    # ib machinery, proj, and cross down/up stay replicated.
+    assert bytes_tp < 0.62 * bytes_dp, (bytes_tp, bytes_dp)
+
+
+@requires_8
+def test_tp_mlp_sharding_covers_quantized_weights():
+    """Serving under TP: int8/int4-quantized MLP weights follow the same
+    col/row specs (w_q/w_p4 shard like w, scales follow the output dim)."""
+    from jax.sharding import PartitionSpec as P
+    from sea_tpu.parallel.mesh import temporal_param_shardings
+    from sea_tpu.utils.precision import quantize_weights_int8
+
+    cfg = _tcfg()
+    params = quantize_weights_int8(init_temporal(jax.random.PRNGKey(0), cfg),
+                                   min_size=1)
+    tp = temporal_param_shardings(make_mesh(4, 2), params)
+    mlp_specs = tp["blocks"][0]["mlp"][0]["layers"]
+    assert mlp_specs[0]["lin"]["w_q"].spec == P(None, "model")
+    assert mlp_specs[0]["lin"]["w_s"].spec == P("model")
+    assert mlp_specs[-1]["lin"]["w_q"].spec == P("model", None)
+    assert mlp_specs[-1]["lin"]["w_s"].spec == P(None)

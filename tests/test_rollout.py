@@ -158,15 +158,18 @@ def test_rollout_dispatch_jit_compiles():
 @pytest.mark.heavy
 def test_pool_mode_rollout_uses_scan():
     """Pool mode IS causal-incremental (the pool token is per-token,
-    reference temporal.py:244-251): the dispatcher must route it through
-    the scan engine and match the prefix-recompute oracle."""
+    reference temporal.py:244-251): the dispatcher must classify it as
+    scan-eligible (select_engine at B>1) and the scan engine must match
+    the prefix-recompute oracle."""
+    from sea_tpu.rollout.engine import select_engine
     cfg = _cfg(exchange_mode="pool", ln_type="ln",
                pool_update_method="mlp")
     params = init_temporal(jax.random.PRNGKey(7), cfg)
+    assert select_engine(cfg, 2, 4, params) == "scan"
     x0 = 0.1 * jax.random.normal(jax.random.PRNGKey(8),
                                  (1, cfg.num_fields, cfg.embed_dim))
     ib = jax.random.normal(jax.random.PRNGKey(9), (1, 4, cfg.ib_num))
-    out = rollout(params, cfg, x0, ib)
+    out = rollout(params, cfg, x0, ib, engine="scan")
     assert out.shape == (1, 4, cfg.num_fields, cfg.embed_dim)
     assert bool(jnp.isfinite(out).all())
     ref = rollout_prefix_recompute(params, cfg, x0, ib)
@@ -175,12 +178,15 @@ def test_pool_mode_rollout_uses_scan():
     np.testing.assert_allclose(np.asarray(out), np.asarray(scan), atol=1e-6)
 
 
-def test_src_len_offset_dispatches_to_prefix_recompute():
+def test_src_len_offset_dispatches_to_masked_prefix():
     """Regression (review finding): with src_len > 0 the tril diagonal
     offset makes the model NON-causal (token p attends p+1..p+src_len), so
     earlier tokens' states change as the prefix grows and KV caching cannot
-    reproduce prefix recompute. The dispatcher must fall back to the
-    oracle."""
+    reproduce prefix recompute. The dispatcher must serve it with the
+    MASKED bucketed prefix engine — a bare padded forward would be wrong
+    too (tokens would attend forward into garbage); valid_len masking
+    (ops/attention.attention_core) makes it exactly equivalent to the
+    reference's growing-prefix loop."""
     cfg = _cfg(src_len=2)
     params = init_temporal(jax.random.PRNGKey(20), cfg)
     B, T = 2, 7
@@ -189,7 +195,58 @@ def test_src_len_offset_dispatches_to_prefix_recompute():
     ib = jax.random.normal(jax.random.PRNGKey(22), (B, T, cfg.ib_num))
     ref = rollout_prefix_recompute(params, cfg, x0, ib)
     got = rollout(params, cfg, x0, ib)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+def test_ib_attention_masked_prefix_equals_oracle():
+    """ib_addition_mode='attention' (unmasked attention over the ib
+    stream) is the config where naive bucketed padding is MOST wrong: the
+    real future ib values are available in the padded buffer and unmasked
+    attention would read them. The masked bucketed engine must match the
+    reference oracle exactly, across bucket boundaries."""
+    from sea_tpu.rollout.engine import rollout_prefix_bucketed
+    cfg = _cfg(ib_addition_mode="attention")
+    params = init_temporal(jax.random.PRNGKey(23), cfg)
+    B, T = 2, 11
+    x0 = jax.random.normal(jax.random.PRNGKey(24),
+                           (B, cfg.num_fields, cfg.embed_dim))
+    ib = jax.random.normal(jax.random.PRNGKey(25), (B, T, cfg.ib_num))
+    ref = rollout_prefix_recompute(params, cfg, x0, ib)
+    got = rollout(params, cfg, x0, ib)  # dispatcher -> masked prefix
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+    for bucket in (4, 64):
+        got_b = rollout_prefix_bucketed(params, cfg, x0, ib, bucket=bucket)
+        np.testing.assert_allclose(np.asarray(got_b), np.asarray(ref),
+                                   atol=2e-5, err_msg=f"bucket={bucket}")
+
+
+def test_select_engine_policy():
+    """Pin the serving-engine dispatch policy (rollout.engine.select_engine,
+    measured basis in BASELINE.md 'Scan vs prefix'):
+    - f32 weights + B=1 + shipped-scale T -> prefix (1.5x on-chip win),
+    - any reduced-precision weights, B>1, or long horizon -> scan,
+    - non-incremental configs -> prefix (the only exact engine)."""
+    from sea_tpu.rollout.engine import select_engine
+    from sea_tpu.utils.precision import (cast_weights_bf16,
+                                         quantize_weights_int8)
+    cfg = _cfg()
+    params = init_temporal(jax.random.PRNGKey(26), cfg)
+    assert select_engine(cfg, 1, 399, params) == "prefix"
+    assert select_engine(cfg, 2, 399, params) == "scan"
+    assert select_engine(cfg, 1, 2048, params) == "scan"
+    assert select_engine(cfg, 1, 399,
+                         cast_weights_bf16(params, min_size=1)) == "scan"
+    assert select_engine(cfg, 1, 399,
+                         quantize_weights_int8(params, min_size=1)) == "scan"
+    assert select_engine(_cfg(src_len=2), 8, 399, params) == "prefix"
+    assert select_engine(_cfg(ib_addition_mode="attention"), 8, 399,
+                         params) == "prefix"
+    # engine='scan' must refuse non-incremental configs loudly.
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="scan-incremental"):
+        rollout(params, _cfg(src_len=2),
+                jnp.zeros((1, cfg.num_fields, cfg.embed_dim)),
+                jnp.zeros((1, 4, cfg.ib_num)), engine="scan")
 
 
 @pytest.mark.parametrize("variant", [

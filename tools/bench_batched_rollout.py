@@ -40,20 +40,27 @@ def main():
         jax.config.update("jax_compilation_cache_dir", cache)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+    # A wedged tunnel otherwise hangs the sweep forever with no output —
+    # the exact failure bench.py's watchdog exists for.
+    bench._require_backend()
+
     import importlib
+    STEPS = {"multiphase_flow": 250, "cylinder_flow": 399}
     out = {}
     kb = 40
     for case in args.cases.split(","):
+        if case not in STEPS:
+            sys.exit(f"unknown case {case!r} (expected one of {sorted(STEPS)})")
         mod = importlib.import_module(f"sea_tpu.configs.{case}")
         cfg = mod.get_case().temporal
-        steps = 250 if case.startswith("multiphase") else 399
+        steps = STEPS[case]
         for dtype in args.dtypes.split(","):
             for b in (int(x) for x in args.batches.split(",")):
                 bench.BATCH = b
                 kb += 1
                 sps, _ = bench.bench_rollout(cfg, steps, dtype=dtype,
                                              key_base=kb)
-                out[f"{case}_{dtype}_B{b}"] = [round(sps * b, 0),
+                out[f"{case}_{dtype}_B{b}"] = [int(round(sps * b)),
                                                round(sps, 1)]
                 print(f"# {case} {dtype} B={b}: {sps * b:.0f} agg "
                       f"({sps:.1f} wall) steps/s", file=sys.stderr)
