@@ -38,6 +38,10 @@ sys.path.insert(0, REPO)
 
 BATCH = 1
 REPEATS = 5
+# KV-cache dtype override for A/B tools (None = the measured policy:
+# bf16 iff int4 weights; jnp.int8 = per-token-scaled quantized caches
+# for batched serving, tools/bench_batched_rollout.py --kv).
+CACHE_DTYPE = None
 # Drift bounds measured on TRAINED cylinder demo weights
 # (tools/measure_bf16_drift.py --dtype {bf16,int8}; round-2 retrain,
 # encoder 420 epochs R2=0.96 / temporal ~315 epochs, 40-step decoded
@@ -122,6 +126,8 @@ def bench_rollout(cfg, steps, *, dtype: str, key_base: int):
     # int4 serves with bf16 KV caches (the weight stream no longer
     # dominates there; +8.6% measured — rollout/engine.rollout).
     cache_dtype = jnp.bfloat16 if dtype == "int4" else jnp.float32
+    if CACHE_DTYPE is not None:
+        cache_dtype = CACHE_DTYPE
 
     @jax.jit
     def run_many(p, x0_stack, ib_stack):
@@ -157,44 +163,52 @@ def _mxu_peak_tflops():
     return f"{kind} (assuming v5e peak)", 197e12
 
 
-def bench_train_step_shadow():
-    """Multiphase temporal train step at the recommended recipe
-    (compute_dtype='bfloat16_shadow', adam_mu_dtype=bf16, B=8, T=199):
-    (ms_per_step, mfu_vs_chip_bf16_peak). MFU uses the compiled step's own
-    XLA cost analysis — valid here because multiphase at T=199 dispatches
-    XLA attention (flash needs T>=1024 deterministic), the same
-    methodology as tools/bench_training.py. Returns (None, None) off-TPU:
-    the 201M-param B=8 step on the 1-core host would grind for hours or
+def bench_train_step_shadow(case: str = "multiphase_flow", T: int = 199):
+    """Temporal train step at the recommended recipe
+    (compute_dtype='bfloat16_shadow', adam_mu_dtype=bf16, B=8):
+    (ms_per_step, mfu_vs_chip_bf16_peak). FLOPs come from a SEPARATE
+    lowering with the Pallas kernels disabled — the cylinder recipe
+    (dropout 0.1, T=399) dispatches the flash kernel, whose custom call
+    reports no flops to XLA's cost analysis, which would deflate MFU;
+    the kernel-free lowering counts the same model math the way
+    tools/bench_training.py does. Returns (None, None) off-TPU: the
+    201M-param B=8 step on the 1-core host would grind for hours or
     be OOM-killed (uncatchable), sinking the whole bench JSON."""
     if jax.default_backend() != "tpu":
         print("train-step bench skipped: backend is not TPU",
               file=sys.stderr)
         return None, None
     import dataclasses
+    import importlib
     from sea_tpu.configs.base import TrainConfig
-    from sea_tpu.configs.multiphase_flow import get_case
     from sea_tpu.models.temporal import init_temporal
+    from sea_tpu.ops.dispatch import attention_kernels_disabled
     from sea_tpu.train.optim import make_optimizer
     from sea_tpu.train.train_temporal import make_train_step
     try:
-        cfg = get_case().temporal
+        cfg = importlib.import_module(
+            f"sea_tpu.configs.{case}").get_case().temporal
         tx = make_optimizer(dataclasses.replace(
             TrainConfig(learning_rate=8e-5), adam_mu_dtype="bfloat16",
             compute_dtype="bfloat16_shadow"))
-        step = make_train_step(cfg, tx, compute_dtype="bfloat16_shadow")
         params = init_temporal(jax.random.PRNGKey(0), cfg)
         opt = tx.init(params)
-        B, T = 8, 199
+        B = 8
         key = jax.random.PRNGKey(1)
         src = jax.random.normal(key, (B, T, cfg.num_fields, cfg.embed_dim))
         tgt = jax.random.normal(jax.random.fold_in(key, 1), src.shape)
         ib = jax.random.normal(jax.random.fold_in(key, 2),
                                (B, T, cfg.ib_num))
-        compiled = step.lower(params, opt, src, tgt, ib,
-                              jax.random.PRNGKey(2)).compile()
-        ca = compiled.cost_analysis()
+        # FLOPs reference: a fresh step closure lowered with kernels off
+        # (fresh so the timed step's jit cache never sees this trace).
+        with attention_kernels_disabled(True):
+            ca = make_train_step(cfg, tx, compute_dtype="bfloat16_shadow"
+                                 ).lower(params, opt, src, tgt, ib,
+                                         jax.random.PRNGKey(2)
+                                         ).compile().cost_analysis()
         ca = ca[0] if isinstance(ca, list) else ca
         flops = float(ca.get("flops", 0.0))
+        step = make_train_step(cfg, tx, compute_dtype="bfloat16_shadow")
         params, opt, stats = step(params, opt, src, tgt, ib,
                                   jax.random.PRNGKey(2))
         float(stats["loss"])  # fence (tunneled backend: host readback)
@@ -208,7 +222,7 @@ def bench_train_step_shadow():
         _, peak = _mxu_peak_tflops()
         return round(dt * 1000, 2), round(flops / dt / peak, 3)
     except Exception as exc:  # never let the train row sink the bench
-        print(f"train-step bench skipped: {exc!r}", file=sys.stderr)
+        print(f"train-step bench skipped ({case}): {exc!r}", file=sys.stderr)
         return None, None
 
 
@@ -281,6 +295,8 @@ def main():
     cyl_f32, _ = bench_rollout(cyl_cfg, 399, dtype="f32", key_base=4)
     cyl_int4, _ = bench_rollout(cyl_cfg, 399, dtype="int4", key_base=7)
     train_ms, train_mfu = bench_train_step_shadow()
+    cyl_train_ms, cyl_train_mfu = bench_train_step_shadow(
+        "cylinder_flow", T=399)
 
     # Roofline: at B=1 every rollout step streams the full weight set from
     # HBM (activations/KV cache are small next to E=2048 matrices) — the
@@ -336,6 +352,10 @@ def main():
         # own XLA cost analysis — same methodology as BASELINE.md's rows.
         "train_step_bf16_shadow_B8_ms": train_ms,
         "train_step_bf16_shadow_B8_mfu": train_mfu,
+        # Cylinder recipe (dropout 0.1, AdaLN, T=399) — the weaker MFU
+        # case (round-3 VERDICT weak #2), now driver-tracked too.
+        "cylinder_train_step_bf16_shadow_B8_ms": cyl_train_ms,
+        "cylinder_train_step_bf16_shadow_B8_mfu": cyl_train_mfu,
         "mxu_peak_assumed": {"chip": _mxu_peak_tflops()[0],
                              "tflops": _mxu_peak_tflops()[1] / 1e12},
     }))

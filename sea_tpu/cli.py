@@ -88,6 +88,14 @@ def main(argv=None):
                         help="disable the default activation-aware int4 "
                              "calibration (weighted scales + bias "
                              "correction from a few train windows)")
+    parser.add_argument("--kv_cache", choices=["auto", "f32", "bf16", "int8"],
+                        default="auto",
+                        help="serving KV-cache storage dtype: 'auto' = the "
+                             "measured policy (bf16 iff --precision int4, "
+                             "f32 otherwise; BASELINE.md cache-dtype A/B); "
+                             "'int8' stores per-token-scaled int8 planes — "
+                             "halves the dominant HBM stream of BATCHED "
+                             "serving (cache-traffic-bound at B>=4)")
     parser.add_argument("--drift_budget", type=float, default=0.05,
                         metavar="REL_L2",
                         help="int8/int4 serving: abort when the loaded "
@@ -445,10 +453,16 @@ def main(argv=None):
             tcfg = case.temporal
             # bf16 KV caches only pay at int4, where the weight stream no
             # longer dominates HBM traffic (+8.6%; they LOSE 3-5% for
-            # bf16/int8 weights — BASELINE.md cache-dtype A/B).
+            # bf16/int8 weights — BASELINE.md cache-dtype A/B). int8
+            # caches (per-token scales, --kv_cache int8) target BATCHED
+            # serving, where the cache stream dominates.
             import jax.numpy as jnp
-            cache_dtype = (jnp.bfloat16 if args.precision == "int4"
-                           else jnp.float32)
+            if args.kv_cache == "auto":
+                cache_dtype = (jnp.bfloat16 if args.precision == "int4"
+                               else jnp.float32)
+            else:
+                cache_dtype = {"f32": jnp.float32, "bf16": jnp.bfloat16,
+                               "int8": jnp.int8}[args.kv_cache]
             from sea_tpu.rollout.engine import is_scan_incremental
             if args.mode == "generate":
                 import os

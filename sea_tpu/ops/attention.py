@@ -282,12 +282,29 @@ def mha_step(params, x_q_t, x_kv_t, cache, t, *, n_heads: int, rope: bool,
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
 
-    cache_k = jax.lax.dynamic_update_slice_in_dim(
-        cache["k"], k.transpose(0, 2, 1, 3).astype(cache["k"].dtype),
-        t, axis=2)
-    cache_v = jax.lax.dynamic_update_slice_in_dim(
-        cache["v"], v.transpose(0, 2, 1, 3).astype(cache["v"].dtype),
-        t, axis=2)
+    quantized = "k_s" in cache
+    if quantized:
+        # int8 cache (init_kv_cache docstring): quantize this token with
+        # its own per-(b, h) symmetric scale at write time.
+        kq, ks = _quantize_token(k.transpose(0, 2, 1, 3)[:, :, 0])
+        vq, vs = _quantize_token(v.transpose(0, 2, 1, 3)[:, :, 0])
+        cache_k = jax.lax.dynamic_update_slice_in_dim(
+            cache["k"], kq[:, :, None], t, axis=2)
+        cache_v = jax.lax.dynamic_update_slice_in_dim(
+            cache["v"], vq[:, :, None], t, axis=2)
+        k_s = jax.lax.dynamic_update_slice_in_dim(
+            cache["k_s"], ks[:, :, None], t, axis=2)
+        v_s = jax.lax.dynamic_update_slice_in_dim(
+            cache["v_s"], vs[:, :, None], t, axis=2)
+        new_cache = {"k": cache_k, "v": cache_v, "k_s": k_s, "v_s": v_s}
+    else:
+        cache_k = jax.lax.dynamic_update_slice_in_dim(
+            cache["k"], k.transpose(0, 2, 1, 3).astype(cache["k"].dtype),
+            t, axis=2)
+        cache_v = jax.lax.dynamic_update_slice_in_dim(
+            cache["v"], v.transpose(0, 2, 1, 3).astype(cache["v"].dtype),
+            t, axis=2)
+        new_cache = {"k": cache_k, "v": cache_v}
 
     T_max = cache_k.shape[2]
 
@@ -312,20 +329,35 @@ def mha_step(params, x_q_t, x_kv_t, cache, t, *, n_heads: int, rope: bool,
         # the k-block index clamped to position t via scalar prefetch —
         # blocks beyond t are never DMA'd, halving average cache traffic
         # over a rollout (ops/decode_attention.py; equality + A/B tested).
+        scales = ((new_cache["k_s"], new_cache["v_s"]) if quantized
+                  else (None, None))
         if ctx is not None:
             from sea_tpu.parallel.kernel_shard import \
                 sharded_decode_attention
             out = sharded_decode_attention(ctx, q.reshape(B, n_heads, hd),
-                                           cache_k, cache_v, t)
+                                           cache_k, cache_v, t,
+                                           k_scale=scales[0],
+                                           v_scale=scales[1])
         else:
             out = decode_attention(q.reshape(B, n_heads, hd), cache_k,
-                                   cache_v, t)
+                                   cache_v, t, k_scale=scales[0],
+                                   v_scale=scales[1])
         out = out.astype(x_q_t.dtype).reshape(B, C)
-        return linear(params["proj"], out), {"k": cache_k, "v": cache_v}
+        return linear(params["proj"], out), new_cache
 
     scale = hd ** -0.5
-    scores = jnp.einsum("bqhd,bhkd->bhqk", q, cache_k,
-                        preferred_element_type=jnp.float32) * scale
+    if quantized:
+        # int8 planes: the astype(bf16) fuses into the dot's operand read
+        # (no dequantized copy materializes); the per-token scales fold
+        # in per KEY column after the q@k dot and into the probabilities
+        # before p@v.
+        scores = jnp.einsum("bqhd,bhkd->bhqk", q,
+                            cache_k.astype(jnp.bfloat16),
+                            preferred_element_type=jnp.float32) * scale
+        scores = scores * new_cache["k_s"][:, :, None, :]
+    else:
+        scores = jnp.einsum("bqhd,bhkd->bhqk", q, cache_k,
+                            preferred_element_type=jnp.float32) * scale
     # Causality allows positions <= t + src_len, but the cache only holds
     # entries <= t; admitting t+1..t+src_len would attend to zero-initialized
     # slots and diverge from prefix recompute for src_len > 0.
@@ -333,14 +365,46 @@ def mha_step(params, x_q_t, x_kv_t, cache, t, *, n_heads: int, rope: bool,
     valid = jnp.arange(T_max)[None, None, None, :] <= limit
     scores = jnp.where(valid, scores, NEG_INF)
     probs = jax.nn.softmax(scores, axis=-1)
-    out = jnp.einsum("bhqk,bhkd->bqhd", probs.astype(cache_v.dtype), cache_v,
-                     preferred_element_type=jnp.float32)
+    if quantized:
+        probs_v = (probs * new_cache["v_s"][:, :, None, :]).astype(
+            jnp.bfloat16)
+        out = jnp.einsum("bhqk,bhkd->bqhd", probs_v,
+                         cache_v.astype(jnp.bfloat16),
+                         preferred_element_type=jnp.float32)
+    else:
+        out = jnp.einsum("bhqk,bhkd->bqhd", probs.astype(cache_v.dtype),
+                         cache_v, preferred_element_type=jnp.float32)
     out = out.astype(x_q_t.dtype).reshape(B, C)
-    return linear(params["proj"], out), {"k": cache_k, "v": cache_v}
+    return linear(params["proj"], out), new_cache
 
 
 def init_kv_cache(batch: int, t_max: int, n_heads: int, head_dim: int,
                   dtype=jnp.float32):
-    # Head-major [B, H, T, hd] — see mha_step's cache contract.
+    """Head-major [B, H, T, hd] — see mha_step's cache contract.
+
+    dtype=jnp.int8: QUANTIZED cache for batched serving — a batched
+    rollout is cache-traffic-bound (the weight stream amortizes over B;
+    BASELINE.md round-3e row), so int8 storage halves the dominant HBM
+    stream vs bf16. Each token is quantized at WRITE time with its own
+    per-(b, h, t) symmetric scale (stored beside the planes as "k_s"/
+    "v_s" f32 [B, H, T]); reads fold the scales into the score/output
+    math — scores scale per KEY column after the q@k dot, and the value
+    scale folds into the probabilities before p@v — so the cache is
+    never dequantized into a materialized f32 copy."""
     shape = (batch, n_heads, t_max, head_dim)
-    return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+    cache = {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+    if dtype == jnp.int8:
+        cache["k_s"] = jnp.zeros((batch, n_heads, t_max), jnp.float32)
+        cache["v_s"] = jnp.zeros((batch, n_heads, t_max), jnp.float32)
+    return cache
+
+
+def _quantize_token(x, int_max: float = 127.0):
+    """x: [B, H, hd] f32 -> (int8 [B, H, hd], scale f32 [B, H]).
+    Symmetric per-(batch, head) max-abs scale; zero tokens get scale 0
+    (the slot dequantizes to exact zeros)."""
+    amax = jnp.max(jnp.abs(x), axis=-1)
+    scale = amax / int_max
+    q = jnp.where(scale[..., None] > 0.0, x / jnp.maximum(
+        scale[..., None], 1e-30), 0.0)
+    return jnp.round(q).astype(jnp.int8), scale

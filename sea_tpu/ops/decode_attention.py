@@ -93,6 +93,98 @@ def _decode_kernel(t_ref, q_ref, k_ref, v_ref, o_ref,
         o_ref[0] = (acc_scratch[:] / l_safe).astype(o_ref.dtype)
 
 
+def _decode_kernel_q8(t_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref,
+                      m_scratch, l_scratch, acc_scratch, *,
+                      scale: float, block_k: int, nk: int, t_actual: int):
+    """int8-cache variant (ops/attention.init_kv_cache): k/v blocks are
+    int8 planes with per-token f32 scales — the key scale multiplies the
+    score column after the q@k dot, the value scale folds into the
+    probabilities before p@V, so nothing dequantizes through HBM."""
+    j = pl.program_id(1)
+    t = t_ref[0]
+    t_block = t // block_k
+
+    @pl.when(j == 0)
+    def _init():
+        m_scratch[:] = jnp.full_like(m_scratch, NEG_INF)
+        l_scratch[:] = jnp.zeros_like(l_scratch)
+        acc_scratch[:] = jnp.zeros_like(acc_scratch)
+
+    @pl.when(j <= t_block)
+    def _accumulate():
+        q = q_ref[0]                                   # [QROWS, hd] bf16
+        k = k_ref[0].astype(jnp.bfloat16)              # [block_k, hd]
+        v = v_ref[0].astype(jnp.bfloat16)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale  # [QROWS, bk]
+        s = s * ks_ref[:]                              # [1, bk] broadcast
+        k_pos = j * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (_QROWS, block_k), 1)
+        mask = jnp.logical_and(k_pos <= t, k_pos < t_actual)
+        s = jnp.where(mask, s, NEG_INF)
+
+        m_prev = m_scratch[:]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new)
+        l_scratch[:] = l_scratch[:] * alpha + jnp.sum(p, axis=1,
+                                                      keepdims=True)
+        pv = jax.lax.dot_general(
+            (p * vs_ref[:]).astype(jnp.bfloat16), v,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        acc_scratch[:] = acc_scratch[:] * alpha + pv
+        m_scratch[:] = m_new
+
+    @pl.when(j == nk - 1)
+    def _finalize():
+        l = l_scratch[:]
+        l_safe = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0] = (acc_scratch[:] / l_safe).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_k", "interpret"))
+def _decode_call_q8(t_arr, qb, kb, vb, ksb, vsb, *, block_k: int,
+                    interpret: bool):
+    BH, _, hd = qb.shape
+    T_pad = kb.shape[1]
+    nk = T_pad // block_k
+    kernel = functools.partial(_decode_kernel_q8, scale=hd ** -0.5,
+                               block_k=block_k, nk=nk, t_actual=T_pad)
+
+    def clamp(bh, j, t_ref):
+        return (bh, jnp.minimum(j, t_ref[0] // block_k), 0)
+
+    def clamp2(bh, j, t_ref):
+        return (bh, jnp.minimum(j, t_ref[0] // block_k))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(BH, nk),
+        in_specs=[
+            pl.BlockSpec((1, _QROWS, hd), lambda bh, j, t_ref: (bh, 0, 0)),
+            pl.BlockSpec((1, block_k, hd), clamp),
+            pl.BlockSpec((1, block_k, hd), clamp),
+            pl.BlockSpec((1, block_k), clamp2),
+            pl.BlockSpec((1, block_k), clamp2),
+        ],
+        out_specs=pl.BlockSpec((1, _QROWS, hd),
+                               lambda bh, j, t_ref: (bh, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((_QROWS, 1), jnp.float32),
+            pltpu.VMEM((_QROWS, 1), jnp.float32),
+            pltpu.VMEM((_QROWS, hd), jnp.float32),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((BH, _QROWS, hd), jnp.float32),
+        interpret=interpret,
+    )(t_arr, qb, kb, vb, ksb, vsb)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("block_k", "interpret"))
 def _decode_call(t_arr, qb, kb, vb, *, block_k: int, interpret: bool):
@@ -161,7 +253,7 @@ def decode_supported(B: int, T: int, n_heads: int, hd: int, *,
 
 
 def decode_attention(q, cache_k, cache_v, t, *, block_k: int = 256,
-                     interpret: bool = False):
+                     interpret: bool = False, k_scale=None, v_scale=None):
     """softmax(q @ K[: t+1]^T / sqrt(hd)) @ V[: t+1], one token.
 
     q: [B, H, hd]; cache_k/cache_v: [B, H, T, hd] head-major (any float
@@ -171,6 +263,10 @@ def decode_attention(q, cache_k, cache_v, t, *, block_k: int = 256,
     cache would force a full-cache relayout copy into the Pallas operand
     every rollout step (Pallas pins operand layouts, so XLA cannot fold
     the transpose away).
+
+    k_scale/v_scale: f32 [B, H, T] per-token scales for int8 caches
+    (ops/attention.init_kv_cache) — routes to the quantized kernel
+    variant, which folds the scales into the score/probability math.
     """
     B, H, hd = q.shape
     T = cache_k.shape[2]
@@ -186,9 +282,20 @@ def decode_attention(q, cache_k, cache_v, t, *, block_k: int = 256,
     if pad:
         kb = jnp.pad(kb, ((0, 0), (0, pad), (0, 0)))
         vb = jnp.pad(vb, ((0, 0), (0, pad), (0, 0)))
+    t_arr = jnp.full((1,), t, dtype=jnp.int32)
+    if k_scale is not None:
+        qb = jnp.broadcast_to(q.reshape(B * H, 1, hd).astype(jnp.bfloat16),
+                              (B * H, _QROWS, hd))
+        ksb = k_scale.reshape(B * H, T)
+        vsb = v_scale.reshape(B * H, T)
+        if pad:
+            ksb = jnp.pad(ksb, ((0, 0), (0, pad)))
+            vsb = jnp.pad(vsb, ((0, 0), (0, pad)))
+        out = _decode_call_q8(t_arr, qb, kb, vb, ksb, vsb,
+                              block_k=block_k, interpret=interpret)
+        return out[:, 0, :].reshape(B, H, hd)
     qb = jnp.broadcast_to(q.reshape(B * H, 1, hd).astype(kb.dtype),
                           (B * H, _QROWS, hd))
-    t_arr = jnp.full((1,), t, dtype=jnp.int32)
     out = _decode_call(t_arr, qb, kb, vb, block_k=block_k,
                        interpret=interpret)
     return out[:, 0, :].reshape(B, H, hd)

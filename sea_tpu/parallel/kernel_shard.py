@@ -81,7 +81,8 @@ def sharded_flash_attention(ctx: KernelSharding, q, k, v, *, causal: bool,
                          out_specs=spec, check_vma=False)(q, k, v, seed)
 
 
-def sharded_decode_attention(ctx: KernelSharding, q, cache_k, cache_v, t):
+def sharded_decode_attention(ctx: KernelSharding, q, cache_k, cache_v, t,
+                             *, k_scale=None, v_scale=None):
     """decode_attention (fused single-token cache attention) with
     batch/head dims sharded over ctx.mesh.
 
@@ -89,10 +90,24 @@ def sharded_decode_attention(ctx: KernelSharding, q, cache_k, cache_v, t):
     scalar-prefetch cache-block clamp (blocks beyond position t never
     DMA'd) now applies per shard — the ~2x batched-serving win survives
     --mesh serving instead of falling back to XLA cache attention.
+    k_scale/v_scale: per-token f32 [B, H, T] scales for int8 caches.
     """
     from sea_tpu.ops.decode_attention import decode_attention
     spec_q = P(ctx.batch_axis, ctx.head_axis, None)
     spec_c = P(ctx.batch_axis, ctx.head_axis, None, None)
+    spec_s = P(ctx.batch_axis, ctx.head_axis, None)
+    t = jnp.asarray(t, jnp.int32)
+
+    if k_scale is not None:
+        def body_q8(q, ck, cv, ks, vs, t):
+            return decode_attention(q, ck, cv, t, k_scale=ks, v_scale=vs)
+
+        # check_vma=False: pallas_call has no varying-mesh-axes rule.
+        return jax.shard_map(
+            body_q8, mesh=ctx.mesh,
+            in_specs=(spec_q, spec_c, spec_c, spec_s, spec_s, P()),
+            out_specs=spec_q, check_vma=False)(q, cache_k, cache_v,
+                                               k_scale, v_scale, t)
 
     def body(q, ck, cv, t):
         return decode_attention(q, ck, cv, t)
@@ -101,8 +116,7 @@ def sharded_decode_attention(ctx: KernelSharding, q, cache_k, cache_v, t):
     return jax.shard_map(body, mesh=ctx.mesh,
                          in_specs=(spec_q, spec_c, spec_c, P()),
                          out_specs=spec_q,
-                         check_vma=False)(q, cache_k, cache_v,
-                                          jnp.asarray(t, jnp.int32))
+                         check_vma=False)(q, cache_k, cache_v, t)
 
 
 def can_shard_int4(ctx: KernelSharding, rows: int) -> bool:

@@ -169,6 +169,12 @@ def test_cli_fused_serving_with_precision(tmp_path, capsys):
               "--no_drift_check"])
     out = capsys.readouterr().out
     assert "int4 weights" in out and "int4 calibration" not in out
+    # int8 KV caches (--kv_cache int8): per-token-scaled planes carried
+    # through the fused serving program.
+    cli.main(["cylinder_flow_smoke", "temporal", "test", "--synthetic",
+              "--save_dir", save, "--kv_cache", "int8"])
+    out = capsys.readouterr().out
+    assert "decoded_rel_mse" in out
 
 
 @pytest.mark.heavy

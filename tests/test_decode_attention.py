@@ -112,3 +112,61 @@ def test_kernel_matches_xla_on_hardware():
         tol = 1e-5 if dt == jnp.float32 else 3e-2
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=0, atol=tol)
+
+
+def _quantize_cache(K, V):
+    """Per-token symmetric int8 quantization, the mha_step write path."""
+    from sea_tpu.ops.attention import _quantize_token
+    B, H, T, hd = K.shape
+    kq, ks = jax.vmap(_quantize_token, in_axes=2, out_axes=2)(K)
+    vq, vs = jax.vmap(_quantize_token, in_axes=2, out_axes=2)(V)
+    return kq, ks, vq, vs
+
+
+def test_int8_cache_kernel_matches_xla_math():
+    """The quantized decode-kernel variant (per-token scales folded into
+    the score/probability math) must match the dequantized XLA oracle in
+    interpret mode — the kernel never materializes a dequantized cache."""
+    B, T, H, hd = 2, 250, 4, 128
+    key = jax.random.PRNGKey(21)
+    q = jax.random.normal(key, (B, H, hd), jnp.float32)
+    K = jax.random.normal(jax.random.fold_in(key, 1), (B, H, T, hd))
+    V = jax.random.normal(jax.random.fold_in(key, 2), (B, H, T, hd))
+    kq, ks, vq, vs = _quantize_cache(K, V)
+    for t in (0, 123, 249):
+        got = decode_attention(q, kq, vq, jnp.int32(t), k_scale=ks,
+                               v_scale=vs, interpret=True)
+        want = _ref(q, kq.astype(jnp.float32) * ks[..., None],
+                    vq.astype(jnp.float32) * vs[..., None], t)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=0, atol=3e-2, err_msg=f"t={t}")
+        # And close to the UNquantized attention: int8 noise only.
+        exact = _ref(q, K, V, t)
+        err = np.linalg.norm(np.asarray(got) - np.asarray(exact)) \
+            / np.linalg.norm(np.asarray(exact))
+        assert err < 0.05, (t, err)
+
+
+def test_int8_cache_rollout_close_to_f32():
+    """End-to-end scan rollout with cache_dtype=int8: the engine carries
+    int8 planes + per-token scales through the scan and stays close to
+    the f32-cache rollout (per-step quantization noise only)."""
+    from sea_tpu.configs.base import TemporalModelConfig
+    from sea_tpu.models.temporal import init_temporal
+    from sea_tpu.rollout.engine import rollout_scan
+    cfg = TemporalModelConfig(
+        num_layers=1, embed_dim=32, n_heads=2, block_size=64,
+        scale_ratio=2, src_len=0, num_fields=2, down_proj=2, dropout=0.0,
+        exchange_mode="sea", ib_scale_mode="mlp", ib_addition_mode="add",
+        ib_mlp_layers=1, ib_num=1, add_info_after_cross=True, ln_type="ln")
+    params = init_temporal(jax.random.PRNGKey(30), cfg)
+    B, T = 2, 8
+    x0 = 0.3 * jax.random.normal(jax.random.PRNGKey(31),
+                                 (B, cfg.num_fields, cfg.embed_dim))
+    ib = jax.random.normal(jax.random.PRNGKey(32), (B, T, cfg.ib_num))
+    ref = np.asarray(rollout_scan(params, cfg, x0, ib))
+    got = np.asarray(rollout_scan(params, cfg, x0, ib,
+                                  cache_dtype=jnp.int8))
+    rel = np.linalg.norm(got - ref) / (np.linalg.norm(ref) + 1e-8)
+    assert rel < 0.05, rel
+    assert not np.array_equal(got, ref)  # int8 genuinely active

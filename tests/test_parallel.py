@@ -351,3 +351,23 @@ def test_tp_mlp_sharding_covers_quantized_weights():
     assert mlp_specs[0]["lin"]["w_s"].spec == P("model")
     assert mlp_specs[-1]["lin"]["w_q"].spec == P("model", None)
     assert mlp_specs[-1]["lin"]["w_s"].spec == P(None)
+
+
+@requires_8
+def test_sharded_rollout_int8_cache_matches_single_device():
+    """Quantized (int8, per-token-scaled) KV caches under the sharded
+    rollout: the scan carries the extra scale planes through GSPMD and
+    matches the single-device int8 rollout exactly (same math, sharded)."""
+    import jax.numpy as jnp
+    cfg = _tcfg()
+    params = init_temporal(jax.random.PRNGKey(40), cfg)
+    B, T = 4, 6
+    x0 = 0.3 * jax.random.normal(jax.random.PRNGKey(41),
+                                 (B, cfg.num_fields, cfg.embed_dim))
+    ib = jax.random.normal(jax.random.PRNGKey(42), (B, T, cfg.ib_num))
+    want = rollout_scan(params, cfg, x0, ib, cache_dtype=jnp.int8)
+    mesh = make_mesh(4, 2)
+    run, placed, place = make_sharded_rollout(mesh, cfg, params,
+                                              cache_dtype=jnp.int8)
+    got = run(placed, *place(np.asarray(x0), np.asarray(ib)))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)

@@ -33,6 +33,11 @@ def main():
     ap.add_argument("--batches", default="4,8")
     ap.add_argument("--dtypes", default="int4,bf16")
     ap.add_argument("--cases", default="multiphase_flow,cylinder_flow")
+    ap.add_argument("--kv", default="auto",
+                    help="comma list of KV-cache dtypes to A/B: auto "
+                         "(measured policy), f32, bf16, int8 (per-token-"
+                         "scaled planes — targets the cache-bound batched "
+                         "regime)")
     args = ap.parse_args()
 
     cache = os.environ.get("SEA_BENCH_XLA_CACHE", "/tmp/sea_tpu_xla_cache")
@@ -54,16 +59,26 @@ def main():
         mod = importlib.import_module(f"sea_tpu.configs.{case}")
         cfg = mod.get_case().temporal
         steps = STEPS[case]
+        import jax.numpy as jnp
+        kv_map = {"auto": None, "f32": jnp.float32, "bf16": jnp.bfloat16,
+                  "int8": jnp.int8}
         for dtype in args.dtypes.split(","):
-            for b in (int(x) for x in args.batches.split(",")):
-                bench.BATCH = b
-                kb += 1
-                sps, _ = bench.bench_rollout(cfg, steps, dtype=dtype,
-                                             key_base=kb)
-                out[f"{case}_{dtype}_B{b}"] = [int(round(sps * b)),
-                                               round(sps, 1)]
-                print(f"# {case} {dtype} B={b}: {sps * b:.0f} agg "
-                      f"({sps:.1f} wall) steps/s", file=sys.stderr)
+            for kv in args.kv.split(","):
+                if kv not in kv_map:
+                    sys.exit(f"unknown --kv {kv!r} "
+                             f"(expected one of {sorted(kv_map)})")
+                bench.CACHE_DTYPE = kv_map[kv]
+                tag = "" if kv == "auto" else f"_kv{kv}"
+                for b in (int(x) for x in args.batches.split(",")):
+                    bench.BATCH = b
+                    kb += 1
+                    sps, _ = bench.bench_rollout(cfg, steps, dtype=dtype,
+                                                 key_base=kb)
+                    out[f"{case}_{dtype}{tag}_B{b}"] = [int(round(sps * b)),
+                                                        round(sps, 1)]
+                    print(f"# {case} {dtype}{tag} B={b}: {sps * b:.0f} agg "
+                          f"({sps:.1f} wall) steps/s", file=sys.stderr)
+        bench.CACHE_DTYPE = None
     print(json.dumps(out))
 
 

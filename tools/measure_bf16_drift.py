@@ -53,6 +53,13 @@ def main():
     ap.add_argument("--no_bias_correct", action="store_true",
                     help="with --int4_scaling cal: weighted clip search "
                          "only (decomposes the calibration A/B)")
+    ap.add_argument("--kv_cache", choices=["auto", "f32", "bf16", "int8"],
+                    default="auto",
+                    help="override the serving KV-cache dtype for the "
+                         "reduced leg (auto = bf16 iff int4 weights). "
+                         "int8 = per-token-scaled quantized caches; "
+                         "measures the CACHE quantization drift on the "
+                         "trained checkpoint")
     ap.add_argument("--e2e", action="store_true",
                     help="end-to-end serving drift: reduce the stage-1 "
                          "DECODE weights too and evaluate through the fused "
@@ -121,8 +128,13 @@ def main():
     else:
         params_bf16 = reduce(fused)
     # Measure the exact serving configuration: int4 serves with bf16 KV
-    # caches (rollout/engine.rollout docstring), the rest with f32.
-    cache_dtype = jnp.bfloat16 if args.dtype == "int4" else jnp.float32
+    # caches (rollout/engine.rollout docstring), the rest with f32;
+    # --kv_cache overrides (int8 = per-token-scaled planes).
+    if args.kv_cache == "auto":
+        cache_dtype = jnp.bfloat16 if args.dtype == "int4" else jnp.float32
+    else:
+        cache_dtype = {"f32": jnp.float32, "bf16": jnp.bfloat16,
+                       "int8": jnp.int8}[args.kv_cache]
     if args.e2e:
         from sea_tpu.train.evaluate import fused_autoregressive_evaluation
         res_f32 = fused_autoregressive_evaluation(
