@@ -42,6 +42,10 @@ REPEATS = 5
 # bf16 iff int4 weights; jnp.int8 = per-token-scaled quantized caches
 # for batched serving, tools/bench_batched_rollout.py --kv).
 CACHE_DTYPE = None
+# A/B hook: False re-enables per-step recomputation of the ib-only
+# activations (AdaLN cond nets / ib embedding) inside the scan —
+# rollout_scan(precompute_cond=...) hoists them by default.
+PRECOMPUTE_COND = True
 # Drift bounds measured on TRAINED cylinder demo weights
 # (tools/measure_bf16_drift.py --dtype {bf16,int8}; round-2 retrain,
 # encoder 420 epochs R2=0.96 / temporal ~315 epochs, 40-step decoded
@@ -133,7 +137,8 @@ def bench_rollout(cfg, steps, *, dtype: str, key_base: int):
     def run_many(p, x0_stack, ib_stack):
         outs = jax.lax.map(
             lambda xi: rollout_scan(p, cfg, xi[0], xi[1],
-                                    cache_dtype=cache_dtype),
+                                    cache_dtype=cache_dtype,
+                                    precompute_cond=PRECOMPUTE_COND),
             (x0_stack, ib_stack))
         return outs.sum()
 

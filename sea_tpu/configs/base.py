@@ -121,6 +121,24 @@ class TemporalModelConfig:
     # activation-traffic-bound large-batch regime (BASELINE.md MFU rows).
     # Off by default (SEA-scale fits comfortably).
     remat: object = False  # False | True | "full" | "dots"
+    # Trace-time stacking of the per-field MLP/proj/norm applications
+    # into ONE batched einsum over a leading G axis (SURVEY §7 "vmap
+    # with stacked params"): G GEMM dispatches become one [G, ...]
+    # batched GEMM. The param LAYOUT is unchanged (checkpoints, torch
+    # parity, TP specs untouched); jnp.stack materializes the stacked
+    # weights per step — measured-negligible next to step traffic
+    # (~0.2 ms of a 25 ms cylinder step). Semantically identical to the
+    # per-field loop (equality-tested incl. dropout); OFF by default
+    # pending an on-TPU win (A/B via tools/bench_training.py --stack).
+    stack_fields: bool = False
+    # The conditioning stream is CONSTANT over time (e.g. a per-trajectory
+    # Reynolds number — true for both shipped datasets): every ib-only
+    # activation (AdaLN cond nets, ib-injection embedding) is computed on
+    # [B, 1] rows and broadcast over T instead of [B, T] rows — exactly
+    # the same numbers, ~T x fewer cond-GEMM rows. AUTO-DETECTED by the
+    # temporal train driver from the actual host data (never guessed);
+    # ignored under sequence-parallel meshes (ib is T-sharded there).
+    ib_time_constant: bool = False
     # Fixed concat width for ib_addition_mode == 'concat' (temporal.py:40).
     ib_dim_concat: int = 64
 
@@ -142,6 +160,14 @@ class TemporalModelConfig:
                 f"Invalid remat: {self.remat!r} (False | True | 'full' | "
                 "'dots') — a truthy typo would silently select FULL "
                 "rematerialization")
+        if self.ib_addition_mode == "concat" and self.add_info_after_cross:
+            raise ValueError(
+                "ib_addition_mode='concat' requires "
+                "add_info_after_cross=False: concat widens the stream to "
+                "internal_embed_dim, and the attention/norm stack is sized "
+                "for the WIDENED dim — injecting after the exchange feeds "
+                "them the narrow stream (the reference crashes on the "
+                "same mismatch, temporal.py:47,131-142)")
 
     @property
     def internal_embed_dim(self) -> int:

@@ -53,6 +53,12 @@ def get_case() -> CaseConfig:
         ib_mlp_layers=1,
         ib_num=1,
         add_info_after_cross=True,
+        # Batch the per-field LN->MLP->proj tail into one vmapped einsum
+        # over G — measured -8% step time on the cylinder recipe at
+        # identical numerics (BASELINE.md cylinder ablation row);
+        # single-device paths only (sharded steps keep per-field params
+        # for the TP specs).
+        stack_fields=True,
         ln_type="ln",
     )
     return CaseConfig(

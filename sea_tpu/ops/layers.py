@@ -145,24 +145,40 @@ def init_adaln(key, embed_dim: int, cond_dim: int, *, init: str = "normal002",
     }
 
 
-def adaln(params, x, cond, eps: float = LN_EPS):
-    """x: [..., D], cond: broadcastable [..., cond_dim] (per-token).
+def adaln_cond(params, cond):
+    """The ib-only half of AdaLN: cond -> (cond_weight + 1, cond_bias).
 
-    Exact formula of base_blocks.py:343-350 including the ``weight + 1`` and
-    additive-base quirks: out = norm(x) * (base_w + (cond_w+1)) + (base_b + cond_b).
-    """
+    Depends ONLY on the conditioning scalars, not on x — so over an
+    autoregressive rollout it can be computed ONCE for the whole horizon
+    (models/temporal.precompute_cond_tables) instead of re-streaming the
+    cond-MLP weights from HBM every scan step (~1/3 of the cylinder
+    preset's serving weight stream)."""
     h = linear(params["cond_fc1"], cond)
     h = jax.nn.silu(h)
     h = linear(params["cond_fc2"], h)
     cw, cb = jnp.split(h, 2, axis=-1)
-    cw = cw + 1.0
-    # f32 statistics, input-dtype output (see layernorm).
+    return cw + 1.0, cb
+
+
+def adaln_modulate(params, x, cw, cb, eps: float = LN_EPS):
+    """The x half of AdaLN: normalize and apply (base + cond) scale/shift.
+    f32 statistics, input-dtype output (see layernorm)."""
     xf = x.astype(jnp.float32)
     mean = jnp.mean(xf, axis=-1, keepdims=True)
     var = jnp.var(xf, axis=-1, keepdims=True)
     normalized = (xf - mean) * jax.lax.rsqrt(var + eps)
     out = normalized * (params["w"] + cw) + (params["b"] + cb)
     return out.astype(x.dtype)
+
+
+def adaln(params, x, cond, eps: float = LN_EPS):
+    """x: [..., D], cond: broadcastable [..., cond_dim] (per-token).
+
+    Exact formula of base_blocks.py:343-350 including the ``weight + 1`` and
+    additive-base quirks: out = norm(x) * (base_w + (cond_w+1)) + (base_b + cond_b).
+    """
+    cw, cb = adaln_cond(params, cond)
+    return adaln_modulate(params, x, cw, cb, eps)
 
 
 def apply_norm(params, x, cond=None):

@@ -28,32 +28,49 @@ import jax
 import jax.numpy as jnp
 
 from sea_tpu.configs.base import TemporalModelConfig
-from sea_tpu.models.temporal import (init_temporal_cache, temporal_forward,
-                                     temporal_step)
+from sea_tpu.models.temporal import (init_temporal_cache,
+                                     precompute_cond_tables,
+                                     temporal_forward, temporal_step)
 
 
 def rollout_scan(params, cfg: TemporalModelConfig, x0, ib, *,
-                 cache_dtype=jnp.float32):
+                 cache_dtype=jnp.float32, precompute_cond: bool = True):
     """x0: [B, G, E] initial latent state (= data[:, 0]);
     ib: [B, T, ib_num] conditioning for steps 0..T-1.
 
     Returns predictions [B, T, G, E]: prediction k is the model's estimate of
     the state at time k+1 (matching autoregressive_output = autoreg_input[:,1:]
     at train_utils.py:209).
+
+    precompute_cond: hoist every ib-only activation (AdaLN cond nets,
+    the ib-injection embedding) out of the scan — they are loop
+    invariants, and per-step recomputation re-streams their weights from
+    HBM every step (~1/3 of the cylinder preset's serving weight
+    stream). Identical numerics (models/temporal.precompute_cond_tables);
+    False only for A/B measurement.
     """
     B = x0.shape[0]
     T = ib.shape[1]
     cache = init_temporal_cache(cfg, B, T, dtype=cache_dtype)
+    tables = None
+    if precompute_cond:
+        tables = precompute_cond_tables(params, cfg, ib)
+        if not jax.tree.leaves(tables):
+            tables = None  # plain-LN + no ib injection: nothing hoisted
 
     def step(carry, inp):
         cache, x_t = carry
-        t, ib_t = inp
-        y, cache = temporal_step(params, cfg, x_t, ib_t, cache, t)
+        t, ib_t = inp[0], inp[1]
+        cond_t = inp[2] if len(inp) > 2 else None
+        y, cache = temporal_step(params, cfg, x_t, ib_t, cache, t,
+                                 cond_t=cond_t)
         return (cache, y), y
 
     ts = jnp.arange(T, dtype=jnp.int32)
-    (_, _), ys = jax.lax.scan(step, (cache, x0),
-                              (ts, jnp.swapaxes(ib, 0, 1)))
+    xs = (ts, jnp.swapaxes(ib, 0, 1))
+    if tables is not None:
+        xs = xs + (tables,)
+    (_, _), ys = jax.lax.scan(step, (cache, x0), xs)
     return jnp.swapaxes(ys, 0, 1)  # [B, T, G, E]
 
 

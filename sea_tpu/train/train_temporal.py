@@ -204,6 +204,24 @@ def train(case: CaseConfig,
     tcfg = case.temporal_train
     td = process_data(case, data=data, spatial_params=spatial_params)
     cfg = case.temporal
+    # Auto-detect time-constant conditioning from the ACTUAL host data
+    # (never guessed): both shipped datasets condition on per-trajectory
+    # constants (Reynolds number), so the ib-only activations (AdaLN
+    # cond nets, ib embedding) can compute on [B, 1] rows and broadcast
+    # over T — bit-identical numerics, ~T x fewer cond-GEMM rows
+    # (TemporalModelConfig.ib_time_constant; equality-tested).
+    if not cfg.ib_time_constant and cfg.ln_type == "adaln":
+        import dataclasses
+        import numpy as _np
+        windows = [w.ib for w in (td.train, td.val, td.test)
+                   if w.ib is not None and len(w.ib)]
+        if windows and all(
+                bool(_np.all(_np.asarray(w) == _np.asarray(w)[:, :1]))
+                for w in windows):
+            cfg = dataclasses.replace(cfg, ib_time_constant=True)
+            print("ib constant over time in every split: conditioning "
+                  "computed per trajectory and broadcast "
+                  "(ib_time_constant)")
 
     rng = jax.random.PRNGKey(seed)
     rng, init_key = jax.random.split(rng)

@@ -712,3 +712,120 @@ def test_adafactor_state_is_factored_and_checkpoints(tmp_path):
     out_b = step(rparams, ropt, src, src * 0.5, ib, jax.random.PRNGKey(3))
     for a, b in zip(jax.tree.leaves(out_a[:2]), jax.tree.leaves(out_b[:2])):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_stack_fields_equals_sequential():
+    """TemporalModelConfig.stack_fields (SURVEY §7 stacked-params vmap):
+    the batched per-field LN->MLP->proj tail must be EXACTLY the
+    sequential loop — deterministic and with dropout (same per-field
+    fold_in keys, vmapped), for both ln and adaln."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sea_tpu.configs.base import TemporalModelConfig
+    from sea_tpu.models.temporal import init_temporal, temporal_forward
+
+    for ln_type in ("ln", "adaln"):
+        cfg = TemporalModelConfig(
+            num_layers=2, embed_dim=32, n_heads=2, block_size=64,
+            scale_ratio=2, src_len=0, num_fields=3, down_proj=2,
+            dropout=0.2, exchange_mode="sea", ib_scale_mode="mlp",
+            ib_addition_mode="add", ib_mlp_layers=1, ib_num=1,
+            add_info_after_cross=True, ln_type=ln_type)
+        scfg = dataclasses.replace(cfg, stack_fields=True)
+        params = init_temporal(jax.random.PRNGKey(0), cfg)
+        B, T = 2, 6
+        x = jax.random.normal(jax.random.PRNGKey(1),
+                              (B, T, cfg.num_fields, cfg.embed_dim))
+        ib = jax.random.normal(jax.random.PRNGKey(2), (B, T, cfg.ib_num))
+
+        want = temporal_forward(params, cfg, x, ib)
+        got = temporal_forward(params, scfg, x, ib)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-6, err_msg=ln_type)
+
+        rng = jax.random.PRNGKey(7)
+        want_d = temporal_forward(params, cfg, x, ib, rng=rng,
+                                  deterministic=False)
+        got_d = temporal_forward(params, scfg, x, ib, rng=rng,
+                                 deterministic=False)
+        np.testing.assert_allclose(np.asarray(got_d), np.asarray(want_d),
+                                   atol=1e-6, err_msg=f"{ln_type} dropout")
+        assert not np.allclose(np.asarray(got_d), np.asarray(want),
+                               atol=1e-3)
+
+
+def test_ib_time_constant_equals_full():
+    """TemporalModelConfig.ib_time_constant: with conditioning constant
+    over T (per-trajectory Reynolds number — both shipped datasets), the
+    ib-only sites compute on [B, 1] rows and broadcast. Must be exactly
+    the full-T computation, for adaln + every ib injection mode."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sea_tpu.configs.base import TemporalModelConfig
+    from sea_tpu.models.temporal import init_temporal, temporal_forward
+
+    for mode in ("add", "concat", "none"):
+        cfg = TemporalModelConfig(
+            num_layers=1, embed_dim=32, n_heads=2, block_size=64,
+            scale_ratio=2, src_len=0, num_fields=2, down_proj=2,
+            dropout=0.0, exchange_mode="sea", ib_scale_mode="mlp",
+            ib_addition_mode=mode, ib_mlp_layers=1, ib_num=1,
+            # concat must inject BEFORE the attention stack: the blocks
+            # are sized for the concatenated internal dim (reference
+            # semantics — after_cross+concat is shape-invalid there too)
+            add_info_after_cross=(mode != "concat"), ln_type="adaln")
+        ccfg = dataclasses.replace(cfg, ib_time_constant=True)
+        params = init_temporal(jax.random.PRNGKey(0), cfg)
+        B, T = 2, 6
+        x = jax.random.normal(jax.random.PRNGKey(1),
+                              (B, T, cfg.num_fields, cfg.embed_dim))
+        # constant-over-T conditioning, distinct per trajectory
+        ib = jnp.broadcast_to(
+            jax.random.normal(jax.random.PRNGKey(2), (B, 1, cfg.ib_num)),
+            (B, T, cfg.ib_num))
+        want = temporal_forward(params, cfg, x, ib)
+        got = temporal_forward(params, ccfg, x, ib)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-6, err_msg=mode)
+
+
+def test_ib_time_constant_autodetect(tmp_path, capsys):
+    """The temporal train driver detects constant-over-T conditioning
+    from the actual host data and enables the optimization — and does
+    NOT when the data varies."""
+    import dataclasses
+
+    import numpy as np
+
+    from sea_tpu.configs.cylinder_flow_smoke import get_case
+    from sea_tpu.data.synthetic import cylinder_like
+    from sea_tpu.train import train_spatial, train_temporal
+
+    case = get_case()
+    case = case.replace(run=dataclasses.replace(
+        case.run, save_dir=str(tmp_path)))
+    data = cylinder_like(tr=6, T=10, n_nodes=200,
+                         seed=case.spatial_split.random_seed)
+    tt = case.temporal_train
+    case = case.replace(temporal_train=dataclasses.replace(
+        tt, dataset_src_len=9, batch_size=2))
+    assert case.temporal.ln_type == "adaln"
+    train_spatial.train(case, data=data, epochs=1)
+    capsys.readouterr()
+    train_temporal.train(case, data=data, epochs=1)
+    assert "ib_time_constant" in capsys.readouterr().out
+
+    # Time-VARYING ib: detection must decline.
+    fields, coords, ib = data
+    ib = ib + np.linspace(0, 1, ib.shape[1])[None, :, None].astype(
+        np.float32)
+    train_temporal.train(case, data=(fields, coords, ib), epochs=1)
+    assert "ib_time_constant" not in capsys.readouterr().out

@@ -311,3 +311,23 @@ def test_fused_qkv_rejects_cross_inputs():
     x2 = jax.random.normal(jax.random.PRNGKey(52), (1, 4, 16))
     with pytest.raises(ValueError, match="self-attention"):
         mha(fused, x1, x2, n_heads=2, causal=False, rope=False)
+
+
+def test_cond_table_hoist_matches_per_step():
+    """precompute_cond_tables (ib-only activations hoisted out of the
+    scan — AdaLN cond nets + ib embedding are loop invariants) must be
+    numerically identical to per-step recomputation, and must actually
+    produce tables for an AdaLN config."""
+    from sea_tpu.models.temporal import precompute_cond_tables
+    cfg = _cfg()  # adaln + ib 'mlp'/'add': both hoist classes present
+    params = init_temporal(jax.random.PRNGKey(50), cfg)
+    B, T = 2, 7
+    x0 = jax.random.normal(jax.random.PRNGKey(51),
+                           (B, cfg.num_fields, cfg.embed_dim))
+    ib = jax.random.normal(jax.random.PRNGKey(52), (B, T, cfg.ib_num))
+    tables = precompute_cond_tables(params, cfg, ib)
+    assert jax.tree.leaves(tables), "adaln config must produce tables"
+    want = rollout_scan(params, cfg, x0, ib, precompute_cond=False)
+    got = rollout_scan(params, cfg, x0, ib, precompute_cond=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-6)

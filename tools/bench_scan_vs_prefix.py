@@ -49,6 +49,11 @@ def main():
                     help="weight precision for BOTH engines (serving modes)")
     ap.add_argument("--check", action="store_true",
                     help="equivalence check only (small T, any backend)")
+    ap.add_argument("--batch", type=int, default=1,
+                    help="trajectory batch B for both engines — sweeps "
+                         "refine select_engine's PREFIX_MAX_BATCH "
+                         "(scan amortizes its weight stream over B, so "
+                         "the prefix win should close as B grows)")
     args = ap.parse_args()
 
     from sea_tpu.models.temporal import init_temporal
@@ -98,8 +103,9 @@ def main():
     elif args.dtype == "int8":
         from sea_tpu.utils.precision import quantize_weights_int8
         params = quantize_weights_int8(params)
-    x0 = jax.random.normal(key, (1, cfg.num_fields, cfg.embed_dim))
-    ib = jax.random.normal(jax.random.fold_in(key, 2), (1, T, cfg.ib_num))
+    B = args.batch
+    x0 = jax.random.normal(key, (B, cfg.num_fields, cfg.embed_dim))
+    ib = jax.random.normal(jax.random.fold_in(key, 2), (B, T, cfg.ib_num))
 
     # Warm (compile) then time. One dispatch per bucket for prefix; the
     # per-dispatch tunnel RTT is ~20 ms x ~7 buckets = noise at these
@@ -117,7 +123,7 @@ def main():
     scan_s = time.perf_counter() - t0
 
     print(json.dumps({
-        "case": args.case, "T": T, "dtype": args.dtype,
+        "case": args.case, "T": T, "B": args.batch, "dtype": args.dtype,
         "backend": jax.default_backend(),
         "device_kind": jax.devices()[0].device_kind,
         "prefix_recompute_steps_per_sec": round(T / prefix_s, 3),

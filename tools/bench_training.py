@@ -66,7 +66,8 @@ def build_spatial(case_name, dtype, batch=None, log_norms=True,
 
 
 def build(case_name, impl, dtype, batch=None, log_norms=True,
-          mu_dtype="float32", remat=False, optimizer="adamw"):
+          mu_dtype="float32", remat=False, optimizer="adamw",
+          stack_fields=False):
     import dataclasses
     from sea_tpu.configs.base import TrainConfig
     from sea_tpu.train.optim import make_optimizer
@@ -83,6 +84,8 @@ def build(case_name, impl, dtype, batch=None, log_norms=True,
     cfg = get_case().temporal
     if remat:
         cfg = dataclasses.replace(cfg, remat=remat)
+    if stack_fields:
+        cfg = dataclasses.replace(cfg, stack_fields=True)
     from sea_tpu.utils.precision import POLICY_BY_FLAG
     policy = POLICY_BY_FLAG[dtype]
     tx = make_optimizer(dataclasses.replace(
@@ -124,6 +127,10 @@ def main():
                          "'dots' saves matmul outputs and recomputes only "
                          "the elementwise interiors — targets activation "
                          "HBM traffic, the dominant term at B>=8")
+    ap.add_argument("--stack", action="store_true",
+                    help="stack_fields: batch the per-field LN->MLP->proj "
+                         "tail into one vmapped einsum over G "
+                         "(TemporalModelConfig.stack_fields A/B)")
     ap.add_argument("--stage", choices=["temporal", "spatial"],
                     default="temporal",
                     help="which training stage to bench; spatial = the "
@@ -157,7 +164,8 @@ def main():
                                 batch=args.batch,
                                 log_norms=not args.no_norms,
                                 mu_dtype=mu_dtype, remat=args.remat,
-                                optimizer=args.opt)
+                                optimizer=args.opt,
+                                stack_fields=args.stack)
     params = init_temporal(jax.random.PRNGKey(0), cfg)
     opt_state = tx.init(params)
 
