@@ -193,6 +193,12 @@ def bench_train_step_shadow(case: str = "multiphase_flow", T: int = 199):
     try:
         cfg = importlib.import_module(
             f"sea_tpu.configs.{case}").get_case().temporal
+        # Mirror the train driver on the real datasets: conditioning is a
+        # per-trajectory CONSTANT (Reynolds number), which the driver
+        # auto-detects and runs with ib_time_constant
+        # (train_temporal.train) — so the bench generates constant-ib
+        # batches and sets the same flag.
+        cfg = dataclasses.replace(cfg, ib_time_constant=True)
         tx = make_optimizer(dataclasses.replace(
             TrainConfig(learning_rate=8e-5), adam_mu_dtype="bfloat16",
             compute_dtype="bfloat16_shadow"))
@@ -202,8 +208,9 @@ def bench_train_step_shadow(case: str = "multiphase_flow", T: int = 199):
         key = jax.random.PRNGKey(1)
         src = jax.random.normal(key, (B, T, cfg.num_fields, cfg.embed_dim))
         tgt = jax.random.normal(jax.random.fold_in(key, 1), src.shape)
-        ib = jax.random.normal(jax.random.fold_in(key, 2),
-                               (B, T, cfg.ib_num))
+        ib = jnp.broadcast_to(
+            jax.random.normal(jax.random.fold_in(key, 2),
+                              (B, 1, cfg.ib_num)), (B, T, cfg.ib_num))
         # FLOPs reference: a fresh step closure lowered with kernels off
         # (fresh so the timed step's jit cache never sees this trace).
         with attention_kernels_disabled(True):

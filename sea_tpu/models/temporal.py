@@ -320,6 +320,15 @@ def temporal_block(block, cfg: TemporalModelConfig, x_vars, ib, *, rng=None,
             else [None] * 4)
     ib_inject = ib if cfg.ib_addition_mode == "attention" else ib_cond
 
+    stacked = cfg.stack_fields and G > 1 and not attn_kw.get("mesh")
+    if stacked:
+        # Skip under the multi-device kernel-sharding context: the TP'd
+        # per-field params shard individually and the hidden-activation
+        # constraint builds specs for unstacked ranks (parallel/mesh,
+        # ops/layers).
+        from sea_tpu.ops.dispatch import kernel_sharding
+        stacked = kernel_sharding() is None
+
     if not cfg.add_info_after_cross:
         for i in range(G):
             dk = (jax.random.fold_in(rngs[0], i) if rngs[0] is not None
@@ -328,14 +337,21 @@ def temporal_block(block, cfg: TemporalModelConfig, x_vars, ib, *, rng=None,
                                   dropout_key=dk, deterministic=deterministic,
                                   attn_kw=attn_kw)
 
-    for i in range(G):
-        dk = jax.random.fold_in(rngs[1], i) if rngs[1] is not None else None
-        h = L.apply_norm(block["ln_exp"][i][0], x_vars[i], ib_cond)
-        x_vars[i] = x_vars[i] + mha(block["self_attn"][i], h, h,
-                                    n_heads=cfg.n_heads, causal=True,
-                                    rope=True, src_len=cfg.src_len,
-                                    dropout_rate=cfg.dropout, dropout_key=dk,
-                                    deterministic=deterministic, **attn_kw)
+    if stacked:
+        x_vars = _stacked_self_attention(block, cfg, x_vars, ib_cond,
+                                         rngs[1], deterministic, attn_kw)
+    else:
+        for i in range(G):
+            dk = (jax.random.fold_in(rngs[1], i) if rngs[1] is not None
+                  else None)
+            h = L.apply_norm(block["ln_exp"][i][0], x_vars[i], ib_cond)
+            x_vars[i] = x_vars[i] + mha(block["self_attn"][i], h, h,
+                                        n_heads=cfg.n_heads, causal=True,
+                                        rope=True, src_len=cfg.src_len,
+                                        dropout_rate=cfg.dropout,
+                                        dropout_key=dk,
+                                        deterministic=deterministic,
+                                        **attn_kw)
 
     x_vars = _exchange(block, cfg, x_vars, ib_cond, rng=rngs[2],
                        deterministic=deterministic, attn_kw=attn_kw)
@@ -348,14 +364,9 @@ def temporal_block(block, cfg: TemporalModelConfig, x_vars, ib, *, rng=None,
                                   dropout_key=dk, deterministic=deterministic,
                                   attn_kw=attn_kw)
 
-    if cfg.stack_fields and G > 1 and not attn_kw.get("mesh"):
-        # Skip under the multi-device kernel-sharding context: the TP'd
-        # MLP params shard per field and the hidden-activation constraint
-        # builds specs for unstacked ranks (parallel/mesh, ops/layers).
-        from sea_tpu.ops.dispatch import kernel_sharding
-        if kernel_sharding() is None:
-            return _stacked_mlp_tail(block, cfg, x_vars, ib_cond, rngs[3],
-                                     deterministic)
+    if stacked:
+        return _stacked_mlp_tail(block, cfg, x_vars, ib_cond, rngs[3],
+                                 deterministic)
     for i in range(G):
         dk = jax.random.fold_in(rngs[3], i) if rngs[3] is not None else None
         h = L.apply_norm(block["ln_exp"][i][2], x_vars[i], ib_cond)
@@ -371,6 +382,33 @@ def _stack_trees(trees):
     """List of structurally-identical pytrees -> one pytree whose leaves
     gain a leading stack axis."""
     return jax.tree.map(lambda *ls: jnp.stack(ls), *trees)
+
+
+def _stacked_self_attention(block, cfg, x_vars, ib_cond, attn_rng,
+                            deterministic, attn_kw):
+    """Per-field LN + q/k/v projection batched into vmapped einsums over
+    the field axis; the attention math itself (ops/attention.
+    multihead_core — flash kernel, per-field dropout keys) runs per
+    field, and the output projection batches again. Exactly the
+    sequential per-field loop (same fold_in keys)."""
+    from sea_tpu.ops.attention import _project_qkv, multihead_core
+    G = cfg.num_fields
+    xs = jnp.stack(x_vars)  # [G, B, T, D]
+    ln0 = _stack_trees([block["ln_exp"][i][0] for i in range(G)])
+    sa = _stack_trees(list(block["self_attn"]))
+    hs = jax.vmap(lambda p, x: L.apply_norm(p, x, ib_cond))(ln0, xs)
+    qs, ks, vs = jax.vmap(lambda p, h: _project_qkv(p, h, h))(sa, hs)
+    outs = []
+    for i in range(G):
+        dk = (jax.random.fold_in(attn_rng, i) if attn_rng is not None
+              else None)
+        outs.append(multihead_core(
+            qs[i], ks[i], vs[i], n_heads=cfg.n_heads, causal=True,
+            rope=True, src_len=cfg.src_len, dropout_rate=cfg.dropout,
+            dropout_key=dk, deterministic=deterministic, **attn_kw))
+    y = jax.vmap(lambda p, o: L.linear(p["proj"], o))(sa, jnp.stack(outs))
+    xs = xs + y
+    return [xs[i] for i in range(G)]
 
 
 def _stacked_mlp_tail(block, cfg, x_vars, ib, mlp_rng, deterministic):

@@ -137,8 +137,31 @@ def mha(params, x_q, x_kv, *, n_heads: int, causal: bool, rope: bool,
     dynamic key-validity mask); used by the masked bucketed prefix
     rollout engine for non-causal configs.
     """
-    B, Tq, C = x_q.shape
     q, k, v = _project_qkv(params, x_q, x_kv)
+    out = multihead_core(q, k, v, n_heads=n_heads, causal=causal,
+                         rope=rope, src_len=src_len,
+                         dropout_rate=dropout_rate, dropout_key=dropout_key,
+                         deterministic=deterministic, impl=impl, mesh=mesh,
+                         seq_axis=seq_axis, valid_len=valid_len)
+    return linear(params["proj"], out)
+
+
+def multihead_core(q, k, v, *, n_heads: int, causal: bool, rope: bool,
+                   src_len: int = 0, dropout_rate: float = 0.0,
+                   dropout_key=None, deterministic: bool = True,
+                   impl: str = "auto", mesh=None, seq_axis: str = "seq",
+                   valid_len=None):
+    """Everything between the q/k/v projections and the output projection:
+    head split, RoPE, the ring/flash/XLA dispatch, head merge. Shared by
+    ``mha`` and the stacked per-field attention path
+    (models/temporal._stacked_attention), which batches the projections
+    over fields but must run the attention math per field (the flash
+    kernel and its dropout keys are per-call).
+
+    q: [B, Tq, C]; k, v: [B, Tk, C] pre-head-split projected tensors.
+    Returns [B, Tq, C].
+    """
+    B, Tq, C = q.shape
     q = _split_heads(q, n_heads)
     k = _split_heads(k, n_heads)
     v = _split_heads(v, n_heads)
@@ -147,7 +170,7 @@ def mha(params, x_q, x_kv, *, n_heads: int, causal: bool, rope: bool,
         hd = C // n_heads
         cos_q, sin_q = rope_cos_sin(hd, jnp.arange(Tq), dtype=jnp.float32)
         q = apply_rope(q, cos_q, sin_q)
-        Tk = x_kv.shape[1]
+        Tk = k.shape[1]
         if Tk == Tq:
             cos_k, sin_k = cos_q, sin_q
         else:
@@ -174,8 +197,7 @@ def mha(params, x_q, x_kv, *, n_heads: int, causal: bool, rope: bool,
         out = ring_attention(q, k, v, mesh, axis=seq_axis, causal=causal,
                              src_len=src_len, dropout_rate=rate,
                              dropout_seed=seed)
-        out = out.reshape(B, Tq, C)
-        return linear(params["proj"], out)
+        return out.reshape(B, Tq, C)
 
     use_flash = False
     if valid_len is not None:
@@ -237,8 +259,7 @@ def mha(params, x_q, x_kv, *, n_heads: int, causal: bool, rope: bool,
                              dropout_key=dropout_key,
                              deterministic=deterministic,
                              valid_len=valid_len)
-    out = out.reshape(B, Tq, C)
-    return linear(params["proj"], out)
+    return out.reshape(B, Tq, C)
 
 
 def _key_to_seed(key):

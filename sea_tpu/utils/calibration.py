@@ -111,8 +111,16 @@ def calibrate_temporal(params, cfg, batches):
     Runs the forward eagerly (calibration is a handful of windows; eager
     CPU/TPU cost is negligible next to training). Returns the resolved
     ``{path: stats}`` dict for quantize_weights_*(act_stats=...)."""
+    import dataclasses
+
     from sea_tpu.models.temporal import temporal_forward
 
+    # The recorder needs EAGER per-field linear calls on the ORIGINAL
+    # param dicts: the stacked-fields fast path (cfg.stack_fields) runs
+    # them under jax.vmap on jnp.stack'd copies — traced AND
+    # identity-unresolvable — so calibrate on the equivalent unstacked
+    # trace (identical numerics, equality-tested).
+    cfg = dataclasses.replace(cfg, stack_fields=False)
     with capture_activation_stats() as rec:
         for data, ib in batches:
             temporal_forward(params, cfg, jnp.asarray(data),
