@@ -497,10 +497,19 @@ def main(argv=None):
                 # (rollout/e2e.py). Engine selection inside (scan vs the
                 # bucketed prefix engine — f32 B=1 and every
                 # non-incremental config take prefix; engine.select_engine).
+                # An EXPLICIT --kv_cache forces the scan engine: the
+                # prefix engine has no KV cache, so silently routing the
+                # request there would measure nothing (review finding).
+                engine = "auto"
+                if args.kv_cache != "auto":
+                    engine = "scan"
+                    print(f"kv_cache={args.kv_cache}: scan engine forced "
+                          "(the prefix engine has no KV cache)")
                 results = fused_autoregressive_evaluation(
                     params, case, td.test, td.latent_service,
                     td.mesh_processor, spatial_params=spatial_params,
-                    epoch=0, plot_traj=True, cache_dtype=cache_dtype)
+                    epoch=0, plot_traj=True, cache_dtype=cache_dtype,
+                    engine=engine)
             print("Test Results:")
             for key in ("encoded_rel_mse", "decoded_rel_mse"):
                 print(f"{key}: {results[key]}")

@@ -318,7 +318,15 @@ def temporal_block(block, cfg: TemporalModelConfig, x_vars, ib, *, rng=None,
     x_vars = list(x_vars)
     rngs = (jax.random.split(rng, 4) if rng is not None and not deterministic
             else [None] * 4)
-    ib_inject = ib if cfg.ib_addition_mode == "attention" else ib_cond
+    # ib-injection stream: attention mode always needs the full stream;
+    # and the ib MLP carries trailing dropout in training (reference
+    # temporal.py:109) whose mask must stay PER TOKEN — computing it on
+    # [B, 1] rows would broadcast one mask over all T (review finding),
+    # so the time-constant slice applies only when that dropout is off.
+    ib_mlp_dropout = (cfg.ib_scale_mode == "mlp" and cfg.dropout > 0.0
+                      and not deterministic)
+    ib_inject = (ib if cfg.ib_addition_mode == "attention" or ib_mlp_dropout
+                 else ib_cond)
 
     stacked = cfg.stack_fields and G > 1 and not attn_kw.get("mesh")
     if stacked:

@@ -334,9 +334,14 @@ def mha_step(params, x_q_t, x_kv_t, cache, t, *, n_heads: int, rope: bool,
     from sea_tpu.ops.dispatch import kernel_sharding
     ctx = kernel_sharding()
     B_loc, H_loc = B, n_heads
+    kernel_ok = True
     if ctx is not None:
         # Multi-device GSPMD trace: gate on the per-device LOCAL shapes
         # and dispatch through shard_map (parallel/kernel_shard.py).
+        # Uneven shards CANNOT fall back to the bare kernel — a pallas
+        # call has no GSPMD partitioning rule, so tracing it unsharded
+        # here would all-gather the KV cache every step (review finding);
+        # the XLA cache attention partitions fine instead.
         from sea_tpu.parallel.kernel_shard import can_shard_attention
         if can_shard_attention(ctx, B, n_heads):
             nd = ctx.mesh.shape[ctx.batch_axis]
@@ -344,7 +349,8 @@ def mha_step(params, x_q_t, x_kv_t, cache, t, *, n_heads: int, rope: bool,
             B_loc, H_loc = B // nd, n_heads // nm
         else:
             ctx = None
-    if src_len == 0 and (ctx is None or B_loc >= 1) \
+            kernel_ok = False
+    if kernel_ok and src_len == 0 \
             and decode_supported(B_loc, T_max, H_loc, hd):
         # Fused flash-decode kernel: online softmax over the cache with
         # the k-block index clamped to position t via scalar prefetch —

@@ -88,7 +88,12 @@ def linear(params, x):
                 y = sharded_int4_matmul(ctx, x, params["w_p4"],
                                         params["w_s"])
         if y is None:
-            y = int4_matmul(x, params["w_p4"], params["w_s"])
+            # Inside a multi-device trace that could NOT shard_map the
+            # kernel (TP'd weights, uneven batch), force the XLA dequant
+            # path: a bare pallas call has no GSPMD partitioning rule and
+            # would all-gather its operands every call (review finding).
+            y = int4_matmul(x, params["w_p4"], params["w_s"],
+                            force="jnp" if ctx is not None else None)
     elif "w_q" in params:
         # int8 weight-only serving path (utils.precision.
         # quantize_weights_int8): widen int8 -> bf16 in-register, f32

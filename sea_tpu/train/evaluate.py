@@ -176,8 +176,8 @@ def fused_autoregressive_evaluation(params, case: CaseConfig, windows,
                                     spatial_params=None, epoch: int = 0,
                                     plot_traj: bool = True,
                                     save_artifacts: bool = True,
-                                    cache_dtype=jnp.float32
-                                    ) -> Dict[str, Any]:
+                                    cache_dtype=jnp.float32,
+                                    engine: str = "auto") -> Dict[str, Any]:
     """Serving-mode evaluation: rollout + decode + un-patch + metrics as ONE
     compiled on-device program (rollout/e2e.py) — no host bounce between
     stages (the reference bounces latents GPU->CPU->GPU,
@@ -204,7 +204,9 @@ def fused_autoregressive_evaluation(params, case: CaseConfig, windows,
     src = jnp.asarray(windows.src)
     ib = jnp.asarray(windows.ib)
     original = np.asarray(windows.tgt_original)
-    engine = select_engine(case.temporal, src.shape[0], ib.shape[1], params)
+    if engine == "auto":
+        engine = select_engine(case.temporal, src.shape[0], ib.shape[1],
+                               params)
     if engine == "scan":
         run = make_e2e_rollout_eval(
             case.temporal, latent_service.cfg, mesh_processor.partition,

@@ -170,11 +170,14 @@ def test_cli_fused_serving_with_precision(tmp_path, capsys):
     out = capsys.readouterr().out
     assert "int4 weights" in out and "int4 calibration" not in out
     # int8 KV caches (--kv_cache int8): per-token-scaled planes carried
-    # through the fused serving program.
+    # through the fused serving program. An EXPLICIT cache dtype must
+    # force the scan engine — the prefix engine has no KV cache, so
+    # silently routing there would measure nothing (review finding).
     cli.main(["cylinder_flow_smoke", "temporal", "test", "--synthetic",
               "--save_dir", save, "--kv_cache", "int8"])
     out = capsys.readouterr().out
     assert "decoded_rel_mse" in out
+    assert "scan engine forced" in out
 
 
 @pytest.mark.heavy

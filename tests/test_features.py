@@ -796,6 +796,20 @@ def test_ib_time_constant_equals_full():
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    atol=1e-6, err_msg=mode)
 
+        # TRAINING with dropout must also be exact (review finding: the
+        # ib-MLP's trailing dropout mask is per token — the optimization
+        # must not broadcast one mask over T, so the injection stream
+        # stays full-length when that dropout is live).
+        dcfg = dataclasses.replace(cfg, dropout=0.2)
+        dccfg = dataclasses.replace(ccfg, dropout=0.2)
+        rng = jax.random.PRNGKey(9)
+        want_d = temporal_forward(params, dcfg, x, ib, rng=rng,
+                                  deterministic=False)
+        got_d = temporal_forward(params, dccfg, x, ib, rng=rng,
+                                 deterministic=False)
+        np.testing.assert_allclose(np.asarray(got_d), np.asarray(want_d),
+                                   atol=1e-6, err_msg=f"{mode} dropout")
+
 
 def test_ib_time_constant_autodetect(tmp_path, capsys):
     """The temporal train driver detects constant-over-T conditioning

@@ -234,3 +234,59 @@ def test_sharded_rollout_decode_kernel_matches(interpret_kernels,
     run, placed, place = make_sharded_rollout(mesh, cfg, params)
     got = run(placed, *place(np.asarray(x0), np.asarray(ib)))
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
+
+
+@requires_8
+def test_unshardable_decode_never_traces_bare_kernel(monkeypatch):
+    """Review finding: when a multi-device trace CANNOT shard_map the
+    decode kernel (uneven batch/head shards), mha_step must fall back to
+    XLA cache attention — tracing the bare pallas call inside GSPMD
+    would all-gather the KV cache every rollout step."""
+    import jax.numpy as jnp
+
+    from sea_tpu.ops.attention import (init_attention, init_kv_cache,
+                                       mha_step)
+
+    monkeypatch.setattr(da, "decode_supported", lambda *a, **k: True)
+
+    def boom(*a, **k):
+        raise AssertionError("bare decode kernel dispatched in an "
+                             "unshardable multi-device trace")
+    monkeypatch.setattr(da, "decode_attention", boom)
+
+    att = init_attention(jax.random.PRNGKey(0), 32, 2)
+    cache = init_kv_cache(3, 8, 2, 16)  # B=3 does not divide data=4
+    x = jax.random.normal(jax.random.PRNGKey(1), (3, 32))
+    with attention_kernel_sharding(make_mesh(4, 2)):
+        out, _ = mha_step(att, x, x, cache, jnp.int32(0), n_heads=2,
+                          rope=True)
+    assert out.shape == (3, 32)
+
+
+@requires_8
+def test_unshardable_int4_forces_xla_dequant(monkeypatch):
+    """Review finding: under a multi-device trace where the int4 matvec
+    cannot shard_map (TP'd weights / model axis > 1), linear() must force
+    the XLA dequant path instead of tracing the bare pallas kernel."""
+    import jax.numpy as jnp
+
+    from sea_tpu.ops import layers as Lx
+
+    def boom(*a, **k):
+        raise AssertionError("bare int4 kernel dispatched in an "
+                             "unshardable multi-device trace")
+    monkeypatch.setattr(qm, "_mv_call", boom)
+    # Make the kernel gates pass so only the force= path can save us.
+    monkeypatch.setattr(qm, "kernel_supported", lambda *a, **k: True)
+
+    K, N = 256, 256
+    key = jax.random.PRNGKey(2)
+    qw = jax.random.randint(key, (K, N), -8, 8, jnp.int8)
+    p = {"w_p4": qm.pack_int4(qw),
+         "w_s": jnp.ones((N,), jnp.float32)}
+    x = jax.random.normal(jax.random.fold_in(key, 1), (8, K))
+    with attention_kernel_sharding(make_mesh(4, 2)):  # TP: cannot shard
+        y = Lx.linear(p, x)
+    assert y.shape == (8, N)
+    want = qm.int4_matmul(x, p["w_p4"], p["w_s"], force="jnp")
+    np.testing.assert_allclose(np.asarray(y), np.asarray(want), atol=1e-4)
