@@ -54,11 +54,12 @@ def get_case() -> CaseConfig:
         ib_mlp_layers=1,
         ib_num=1,
         add_info_after_cross=True,
-        # Batch the per-field LN->MLP->proj tail into one vmapped einsum
-        # over G — measured -8% step time on the cylinder recipe at
-        # identical numerics (BASELINE.md cylinder ablation row);
-        # single-device paths only (sharded steps keep per-field params
-        # for the TP specs).
+        # Batch the per-field LN/projection/MLP applications into vmapped
+        # einsums over G — measured -16% step time on this recipe at
+        # identical numerics (20.36 vs 24.20 ms with ib_time_constant;
+        # BASELINE.md round-4 stack A/B). Per-case: multiphase (E=2048)
+        # measured it HARMFUL and ships False. Single-device paths only
+        # (sharded steps keep per-field params for the TP specs).
         stack_fields=True,
         ln_type="adaln",
     )

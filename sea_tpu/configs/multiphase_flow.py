@@ -53,12 +53,12 @@ def get_case() -> CaseConfig:
         ib_mlp_layers=1,
         ib_num=1,
         add_info_after_cross=True,
-        # Batch the per-field LN->MLP->proj tail into one vmapped einsum
-        # over G — measured -8% step time on the cylinder recipe at
-        # identical numerics (BASELINE.md cylinder ablation row);
-        # single-device paths only (sharded steps keep per-field params
-        # for the TP specs).
-        stack_fields=True,
+        # Stacked per-field execution measured HARMFUL here (21.8 ->
+        # 28.4 ms/step, +30%): at E=2048 the per-field GEMMs already
+        # saturate the MXU and the trace-time weight stacking only adds
+        # copy traffic. Cylinder (E=1024) keeps it ON at a measured -16%
+        # (BASELINE.md round-4 stack A/B rows).
+        stack_fields=False,
         ln_type="ln",
     )
     return CaseConfig(

@@ -118,7 +118,11 @@ def _decode_kernel_q8(t_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref,
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale  # [QROWS, bk]
-        s = s * ks_ref[:]                              # [1, bk] broadcast
+        # Scales arrive sublane-replicated as [1, QROWS, bk] blocks
+        # (Mosaic requires the block's second-to-last dim divisible by 8;
+        # a [1, bk] row is not a legal block shape) — elementwise with
+        # the QROWS-replicated scores.
+        s = s * ks_ref[0]                              # [QROWS, bk]
         k_pos = j * block_k + jax.lax.broadcasted_iota(
             jnp.int32, (_QROWS, block_k), 1)
         mask = jnp.logical_and(k_pos <= t, k_pos < t_actual)
@@ -131,7 +135,7 @@ def _decode_kernel_q8(t_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref,
         l_scratch[:] = l_scratch[:] * alpha + jnp.sum(p, axis=1,
                                                       keepdims=True)
         pv = jax.lax.dot_general(
-            (p * vs_ref[:]).astype(jnp.bfloat16), v,
+            (p * vs_ref[0]).astype(jnp.bfloat16), v,
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         acc_scratch[:] = acc_scratch[:] * alpha + pv
@@ -157,7 +161,7 @@ def _decode_call_q8(t_arr, qb, kb, vb, ksb, vsb, *, block_k: int,
         return (bh, jnp.minimum(j, t_ref[0] // block_k), 0)
 
     def clamp2(bh, j, t_ref):
-        return (bh, jnp.minimum(j, t_ref[0] // block_k))
+        return (bh, 0, jnp.minimum(j, t_ref[0] // block_k))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -166,8 +170,10 @@ def _decode_call_q8(t_arr, qb, kb, vb, ksb, vsb, *, block_k: int,
             pl.BlockSpec((1, _QROWS, hd), lambda bh, j, t_ref: (bh, 0, 0)),
             pl.BlockSpec((1, block_k, hd), clamp),
             pl.BlockSpec((1, block_k, hd), clamp),
-            pl.BlockSpec((1, block_k), clamp2),
-            pl.BlockSpec((1, block_k), clamp2),
+            # Scales are [BH, QROWS, T_pad] (sublane-replicated rows —
+            # Mosaic rejects (1, bk) blocks); see _decode_kernel_q8.
+            pl.BlockSpec((1, _QROWS, block_k), clamp2),
+            pl.BlockSpec((1, _QROWS, block_k), clamp2),
         ],
         out_specs=pl.BlockSpec((1, _QROWS, hd),
                                lambda bh, j, t_ref: (bh, 0, 0)),
@@ -286,11 +292,17 @@ def decode_attention(q, cache_k, cache_v, t, *, block_k: int = 256,
     if k_scale is not None:
         qb = jnp.broadcast_to(q.reshape(B * H, 1, hd).astype(jnp.bfloat16),
                               (B * H, _QROWS, hd))
-        ksb = k_scale.reshape(B * H, T)
-        vsb = v_scale.reshape(B * H, T)
+        ksb = k_scale.reshape(B * H, 1, T)
+        vsb = v_scale.reshape(B * H, 1, T)
         if pad:
-            ksb = jnp.pad(ksb, ((0, 0), (0, pad)))
-            vsb = jnp.pad(vsb, ((0, 0), (0, pad)))
+            ksb = jnp.pad(ksb, ((0, 0), (0, 0), (0, pad)))
+            vsb = jnp.pad(vsb, ((0, 0), (0, 0), (0, pad)))
+        # Sublane-replicate to QROWS rows: Mosaic requires the block's
+        # second-to-last dim divisible by 8, so a 1-row scale block is
+        # not lowerable; QROWS identical rows line up elementwise with
+        # the row-replicated query scores (tiny arrays — 8x ~KBs).
+        ksb = jnp.broadcast_to(ksb, (B * H, _QROWS, ksb.shape[2]))
+        vsb = jnp.broadcast_to(vsb, (B * H, _QROWS, vsb.shape[2]))
         out = _decode_call_q8(t_arr, qb, kb, vb, ksb, vsb,
                               block_k=block_k, interpret=interpret)
         return out[:, 0, :].reshape(B, H, hd)

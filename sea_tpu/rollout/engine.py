@@ -53,10 +53,16 @@ def rollout_scan(params, cfg: TemporalModelConfig, x0, ib, *,
     T = ib.shape[1]
     cache = init_temporal_cache(cfg, B, T, dtype=cache_dtype)
     tables = None
-    if precompute_cond:
+    # Hoist policy (measured, BASELINE.md round-4 rows): AdaLN configs
+    # only. There the cond nets are ~1/3 of the serving weight stream
+    # and hoisting pays +39-61% (cylinder). For plain-LN configs the
+    # only ib-only activation is the tiny ib embedding — no weight
+    # stream to save — and carrying its table through the scan xs
+    # measured 26% SLOWER on the batched multiphase bf16 rollout.
+    if precompute_cond and cfg.ln_type.lower() == "adaln":
         tables = precompute_cond_tables(params, cfg, ib)
         if not jax.tree.leaves(tables):
-            tables = None  # plain-LN + no ib injection: nothing hoisted
+            tables = None
 
     def step(carry, inp):
         cache, x_t = carry
