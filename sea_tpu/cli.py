@@ -373,6 +373,12 @@ def main(argv=None):
             from sea_tpu.train.train_temporal import process_data
             from sea_tpu.utils import checkpoint as ckpt
             td = process_data(case, data=data)
+            # NOTE ib_time_constant stays a TRAINING-only optimization:
+            # serving was measured on-chip and the [B,1]-row variant is
+            # ~13% SLOWER on the prefix engine — its forwards are
+            # weight-stream-bound, so shrinking the cond-GEMM rows saves
+            # no bytes and degrades MXU shape; the scan engine hoists
+            # the cond tables instead (rollout/engine.rollout_scan).
             template = init_temporal(jax.random.PRNGKey(0), case.temporal)
             path = args.model_path or ckpt.checkpoint_path(
                 case.run.save_dir, "temporal", case.run.case_name,

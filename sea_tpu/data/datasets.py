@@ -206,3 +206,22 @@ def padded_batch_iterator(arrays: Sequence[np.ndarray], batch_size: int
         assert len(a) == n
     for idx, k in padded_batch_index_iterator(n, batch_size):
         yield tuple(a[idx] for a in arrays), k
+
+
+def ib_is_time_constant(*window_sets) -> bool:
+    """True when every window's conditioning stream is constant over time
+    (e.g. a per-trajectory Reynolds number — both shipped datasets).
+    Checked on the HOST arrays once per run, never guessed: the temporal
+    train driver and the CLI serving path use it to enable
+    TemporalModelConfig.ib_time_constant (ib-only activations computed on
+    [B, 1] rows and broadcast — identical numerics, ~T x fewer rows)."""
+    found = False
+    for w in window_sets:
+        ib = getattr(w, "ib", w)
+        if ib is None or len(ib) == 0:
+            continue
+        found = True
+        arr = np.asarray(ib)
+        if not bool(np.all(arr == arr[:, :1])):
+            return False
+    return found

@@ -212,12 +212,9 @@ def train(case: CaseConfig,
     # (TemporalModelConfig.ib_time_constant; equality-tested).
     if not cfg.ib_time_constant and cfg.ln_type == "adaln":
         import dataclasses
-        import numpy as _np
-        windows = [w.ib for w in (td.train, td.val, td.test)
-                   if w.ib is not None and len(w.ib)]
-        if windows and all(
-                bool(_np.all(_np.asarray(w) == _np.asarray(w)[:, :1]))
-                for w in windows):
+
+        from sea_tpu.data.datasets import ib_is_time_constant
+        if ib_is_time_constant(td.train, td.val, td.test):
             cfg = dataclasses.replace(cfg, ib_time_constant=True)
             print("ib constant over time in every split: conditioning "
                   "computed per trajectory and broadcast "
