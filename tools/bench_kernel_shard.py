@@ -30,13 +30,19 @@ import bench
 
 
 def _time(fn, args, repeats):
-    jax.tree.leaves(fn(*args))[0].block_until_ready()  # compile + warm
+    def fence(out):
+        # Host readback, not block_until_ready: the tunneled backend was
+        # observed to under-fence block_until_ready (BASELINE.md round-4
+        # ib_time_constant note) — a scalar readback is the reliable
+        # completion barrier (same design as bench.py).
+        return float(jax.tree.leaves(out)[0].ravel()[0])
+    fence(fn(*args))  # compile + warm
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
         for _ in range(repeats):
             out = fn(*args)
-        jax.tree.leaves(out)[0].block_until_ready()
+        fence(out)
         best = min(best, (time.perf_counter() - t0) / repeats)
     return best * 1e6  # us
 
