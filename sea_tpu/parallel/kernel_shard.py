@@ -120,13 +120,14 @@ def sharded_decode_attention(ctx: KernelSharding, q, cache_k, cache_v, t,
 
 
 def can_shard_int4(ctx: KernelSharding, rows: int) -> bool:
-    """The packed-nibble matvec shards over the batch axis with weights
-    REPLICATED — valid only for pure data parallelism (head/model axis of
-    size 1: under tensor parallelism the weight itself is sharded, which
-    needs a different decomposition; that path serves via XLA dequant,
-    ops/quant_matmul.py docstring)."""
+    """The REPLICATED-weight decomposition: x's leading dim shards over
+    the batch axis, the packed weight replicates everywhere (each device
+    in a model-axis column repeats the same local matvec — free, since
+    replicated serving weights exist on every device anyway). For
+    weights actually SHARDED over the model axis use the col/row
+    decompositions below (can_shard_int4_tp)."""
     nd, nm = _axis_sizes(ctx)
-    return nm == 1 and rows % nd == 0 and rows >= nd
+    return rows % nd == 0 and rows >= nd
 
 
 def sharded_int4_matmul(ctx: KernelSharding, x, wp, s):
@@ -144,3 +145,66 @@ def sharded_int4_matmul(ctx: KernelSharding, x, wp, s):
     return jax.shard_map(body, mesh=ctx.mesh,
                          in_specs=(P(*lead), P(None, None), P(None)),
                          out_specs=P(*lead), check_vma=False)(x, wp, s)
+
+
+def can_shard_int4_tp(ctx: KernelSharding, rows: int, K: int, N: int,
+                      role: str) -> bool:
+    """Gate for the TENSOR-PARALLEL int4 decompositions (round-4 VERDICT
+    item 5: TP'd quantized serving previously lost the packed-nibble
+    kernel to the XLA dequant fallback).
+
+    role='col' (Megatron column-parallel: first MLP linear, attention
+    q/k/v): the packed weight [K/2, N] shards its OUTPUT dim over the
+    model axis — nibble packing runs along K, so each shard is a valid
+    packed array untouched.
+
+    role='row' (row-parallel: last MLP linear, attention out-proj): the
+    packed weight shards dim 0 (packed input rows). Packed row k pairs
+    unpacked inputs k and k + K/2, so shard d needs x slices
+    [d*K2l:(d+1)*K2l] and [K/2 + d*K2l : K/2 + (d+1)*K2l]
+    (K2l = K/(2*nm)) — exactly the last-axis shards of x viewed as
+    [..., 2, K/2]. The wrapper reshapes, shard_maps, and psums the
+    partial products (scales/corrections are linear, so scaling partials
+    before the psum is exact)."""
+    nd, nm = _axis_sizes(ctx)
+    if nm <= 1 or rows % nd or rows < nd:
+        return False
+    if role == "col":
+        return N % nm == 0
+    if role == "row":
+        # Each local packed shard must itself be pack-aligned.
+        return K % (2 * nm) == 0 and (K // 2) % nm == 0
+    return False
+
+
+def sharded_int4_matmul_tp(ctx: KernelSharding, x, wp, s, role: str):
+    """int4_matmul with the packed weight sharded over the model axis
+    (see can_shard_int4_tp) and x's leading dim over the batch axis.
+    'col' runs shard-local with zero collectives (output stays sharded
+    over the model axis, feeding the distributed-LN hidden constraint);
+    'row' psums the partial products — the single Megatron all-reduce."""
+    from sea_tpu.ops.quant_matmul import int4_matmul
+    data, model = ctx.batch_axis, ctx.head_axis
+    lead = (data,) + (None,) * (x.ndim - 2)
+    if role == "col":
+        def body(x, wp, s):
+            return int4_matmul(x, wp, s)
+
+        # check_vma=False: pallas_call has no varying-mesh-axes rule.
+        return jax.shard_map(
+            body, mesh=ctx.mesh,
+            in_specs=(P(*lead, None), P(None, model), P(model)),
+            out_specs=P(*lead, model), check_vma=False)(x, wp, s)
+
+    K = x.shape[-1]
+    xr = x.reshape(*x.shape[:-1], 2, K // 2)
+
+    def body(xr, wp, s):
+        x_loc = xr.reshape(*xr.shape[:-2], 2 * xr.shape[-1])
+        return jax.lax.psum(int4_matmul(x_loc, wp, s), model)
+
+    # check_vma=False: pallas_call has no varying-mesh-axes rule.
+    return jax.shard_map(
+        body, mesh=ctx.mesh,
+        in_specs=(P(*lead, None, model), P(model, None), P(None)),
+        out_specs=P(*lead, None), check_vma=False)(xr, wp, s)

@@ -207,6 +207,21 @@ def fused_autoregressive_evaluation(params, case: CaseConfig, windows,
     if engine == "auto":
         engine = select_engine(case.temporal, src.shape[0], ib.shape[1],
                                params)
+        if engine == "prefix" and cache_dtype != jnp.float32:
+            # A caller-supplied cache dtype is a request for the KV-cache
+            # engine; the prefix engine has no cache, so honoring the
+            # request beats silently ignoring it (round-4 advisor
+            # finding — mirrors the CLI's --kv_cache guard). Only the
+            # scan-incremental configs CAN honor it; otherwise warn.
+            from sea_tpu.rollout.engine import is_scan_incremental
+            if is_scan_incremental(case.temporal):
+                print(f"cache_dtype={np.dtype(cache_dtype).name}: scan "
+                      "engine forced (the prefix engine has no KV cache)")
+                engine = "scan"
+            else:
+                print(f"cache_dtype={np.dtype(cache_dtype).name} ignored: "
+                      "non-incremental config serves on the prefix engine, "
+                      "which has no KV cache")
     if engine == "scan":
         run = make_e2e_rollout_eval(
             case.temporal, latent_service.cfg, mesh_processor.partition,

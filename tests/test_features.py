@@ -843,3 +843,38 @@ def test_ib_time_constant_autodetect(tmp_path, capsys):
         np.float32)
     train_temporal.train(case, data=(fields, coords, ib), epochs=1)
     assert "ib_time_constant" not in capsys.readouterr().out
+
+
+def test_hash_dropout_semantics():
+    """ops.layers.dropout (counter-hash mask, round-5): Bernoulli(rate)
+    statistics, inverted-scale values {0, 1/(1-rate)}, deterministic per
+    (key, position), key-sensitive, and identical under vmap vs the
+    sequential per-field fold_in loop (the stacked-params paths rely on
+    that)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import sea_tpu.ops.layers as L
+
+    assert L.HASH_DROPOUT
+    x = jnp.ones((8, 64, 32))
+    key = jax.random.PRNGKey(42)
+    y = np.asarray(L.dropout(x, 0.25, key, False))
+    np.testing.assert_allclose(np.unique(y.round(5)), [0.0, 1 / 0.75],
+                               atol=1e-5)
+    assert abs((y == 0).mean() - 0.25) < 0.02
+    y2 = np.asarray(L.dropout(x, 0.25, key, False))
+    assert (y == y2).all()
+    y3 = np.asarray(L.dropout(x, 0.25, jax.random.fold_in(key, 1), False))
+    assert (y != y3).any()
+    # passthroughs
+    assert L.dropout(x, 0.0, key, False) is x
+    assert L.dropout(x, 0.25, key, True) is x
+
+    ks = jnp.stack([jax.random.fold_in(key, i) for i in range(3)])
+    xv = jnp.ones((3, 16, 8))
+    yv = jax.vmap(lambda k, x: L.dropout(x, 0.25, k, False))(ks, xv)
+    ys = jnp.stack([L.dropout(xv[i], 0.25, jax.random.fold_in(key, i),
+                              False) for i in range(3)])
+    assert (np.asarray(yv) == np.asarray(ys)).all()

@@ -143,10 +143,14 @@ def test_flash_gradient_matches_xla():
 
 def test_scalar_dropout_seed_padded():
     """flash_attention accepts a scalar dropout_seed (docstring contract);
-    _as_seed must pad to the two words every kernel reads."""
-    from sea_tpu.ops.flash_attention import _as_seed
+    _as_seed must pad to the four words every kernel reads (two seed
+    words + the round-5 global-position offsets, zero by default)."""
+    from sea_tpu.ops.flash_attention import _as_seed, _with_pos_off
     s = _as_seed(7)
-    assert s.shape == (2,) and s.dtype == jnp.int32
+    assert s.shape == (4,) and s.dtype == jnp.int32
     assert int(s[0]) == 7 and int(s[1]) == 0
+    assert int(s[2]) == 0 and int(s[3]) == 0
     s2 = _as_seed(jnp.asarray([1, 2, 3], jnp.int32))
-    assert s2.shape == (2,)
+    assert s2.shape == (4,)
+    s3 = _with_pos_off(s, (5, 9))
+    assert [int(v) for v in s3] == [7, 0, 5, 9]

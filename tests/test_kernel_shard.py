@@ -23,9 +23,11 @@ from sea_tpu.ops.attention import attention_core
 from sea_tpu.ops.dispatch import KernelSharding, attention_kernel_sharding
 from sea_tpu.parallel.kernel_shard import (can_shard_attention,
                                            can_shard_int4,
+                                           can_shard_int4_tp,
                                            sharded_decode_attention,
                                            sharded_flash_attention,
-                                           sharded_int4_matmul)
+                                           sharded_int4_matmul,
+                                           sharded_int4_matmul_tp)
 from sea_tpu.parallel.mesh import make_mesh
 
 requires_8 = pytest.mark.skipif(len(jax.devices()) < 8,
@@ -146,7 +148,9 @@ def test_sharded_int4_matvec_matches_single_device(interpret_kernels):
     mesh = make_mesh(8, 1)
     ctx = KernelSharding(mesh)
     assert can_shard_int4(ctx, 8)
-    assert not can_shard_int4(KernelSharding(make_mesh(4, 2)), 8)  # TP: no
+    # Since round 5 the replicated decomposition also applies under TP
+    # meshes (each model-axis column repeats the local matvec).
+    assert can_shard_int4(KernelSharding(make_mesh(4, 2)), 8)
     key = jax.random.PRNGKey(13)
     K, N = 256, 256
     x = jax.random.normal(key, (8, K), jnp.float32)
@@ -290,3 +294,52 @@ def test_unshardable_int4_forces_xla_dequant(monkeypatch):
     assert y.shape == (8, N)
     want = qm.int4_matmul(x, p["w_p4"], p["w_s"], force="jnp")
     np.testing.assert_allclose(np.asarray(y), np.asarray(want), atol=1e-4)
+
+
+@requires_8
+def test_sharded_int4_tp_col_row_match_dequant(interpret_kernels):
+    """The tensor-parallel int4 decompositions (round-4 VERDICT item 5):
+    'col' shards the packed weight's output dim (packing runs along the
+    input dim, so each shard is a valid packed array); 'row' shards
+    packed input rows and pairs them with x viewed as [..., 2, K/2]
+    sharded on the last axis, psum-ing partials. Both must equal the
+    unsharded dequant reference."""
+    mesh = make_mesh(2, 4)
+    ctx = KernelSharding(mesh)
+    key = jax.random.PRNGKey(17)
+    K, N = 256, 256
+    B = 8
+    x = jax.random.normal(key, (B, K), jnp.float32).astype(jnp.bfloat16)
+    qw = jax.random.randint(jax.random.fold_in(key, 1), (K, N), -8, 8,
+                            jnp.int8)
+    wp = qm.pack_int4(qw)
+    s = jnp.abs(jax.random.normal(jax.random.fold_in(key, 2), (N,))) + 0.1
+    assert can_shard_int4_tp(ctx, B, K, N, "col")
+    assert can_shard_int4_tp(ctx, B, K, N, "row")
+    assert not can_shard_int4_tp(KernelSharding(make_mesh(8, 1)), B, K, N,
+                                 "col")  # needs a model axis > 1
+    want = qm.int4_matmul(x, wp, s, force="jnp")
+    got_col = sharded_int4_matmul_tp(ctx, x, wp, s, "col")
+    got_row = sharded_int4_matmul_tp(ctx, x, wp, s, "row")
+    np.testing.assert_allclose(np.asarray(got_col), np.asarray(want),
+                               atol=2e-3)
+    np.testing.assert_allclose(np.asarray(got_row), np.asarray(want),
+                               atol=2e-3)
+
+
+@requires_8
+def test_sharded_int4_tp_3d_row(interpret_kernels):
+    """Row decomposition with a middle (time) dim — the training-shaped
+    [B, T, K] call."""
+    mesh = make_mesh(2, 2)
+    ctx = KernelSharding(mesh)
+    key = jax.random.PRNGKey(23)
+    K, N = 128, 128
+    x = jax.random.normal(key, (4, 3, K), jnp.float32).astype(jnp.bfloat16)
+    qw = jax.random.randint(jax.random.fold_in(key, 1), (K, N), -8, 8,
+                            jnp.int8)
+    wp = qm.pack_int4(qw)
+    s = jnp.abs(jax.random.normal(jax.random.fold_in(key, 2), (N,))) + 0.1
+    want = qm.int4_matmul(x, wp, s, force="jnp")
+    got = sharded_int4_matmul_tp(ctx, x, wp, s, "row")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-3)

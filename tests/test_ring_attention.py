@@ -334,3 +334,88 @@ def test_seq_parallel_step_compute_dtype_tracks_single_device():
             for a, b in zip(jax.tree.leaves(oN.shadow),
                             jax.tree.leaves(to_bf16(pN))):
                 np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+# ---------------------------------------------------------------------------
+# Flash-kernel ring (round-5: banded Pallas pairs instead of dense einsum)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture
+def interpret_flash(monkeypatch):
+    from sea_tpu.ops import flash_attention as fa
+    monkeypatch.setattr(fa, "_FORCE_INTERPRET", True)
+
+
+@requires_8
+@pytest.mark.parametrize("causal", [True, False])
+def test_ring_flash_matches_dense(interpret_flash, causal):
+    B, T, H, hd = 2, 64, 2, 16
+    key = jax.random.PRNGKey(0)
+    q = jax.random.normal(key, (B, T, H, hd))
+    k = jax.random.normal(jax.random.fold_in(key, 1), (B, T, H, hd))
+    v = jax.random.normal(jax.random.fold_in(key, 2), (B, T, H, hd))
+    mesh = _seq_mesh(8)
+    ref = ring_attention(q, k, v, mesh, causal=causal, src_len=0,
+                         impl="dense")
+    got = ring_attention(q, k, v, mesh, causal=causal, src_len=0,
+                         impl="flash")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+    oracle = attention_core(q, k, v, causal=causal, src_len=0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(oracle),
+                               atol=2e-5)
+
+
+@requires_8
+@pytest.mark.heavy
+def test_ring_flash_gradients_match_dense(interpret_flash):
+    """The ring-of-flash-backward-kernels custom VJP == the dense ring's
+    autodiff gradients."""
+    B, T, H, hd = 1, 32, 2, 8
+    key = jax.random.PRNGKey(5)
+    q = jax.random.normal(key, (B, T, H, hd))
+    k = jax.random.normal(jax.random.fold_in(key, 1), (B, T, H, hd))
+    v = jax.random.normal(jax.random.fold_in(key, 2), (B, T, H, hd))
+    mesh = _seq_mesh(4)
+
+    def loss(impl):
+        def f(q, k, v):
+            return jnp.sum(ring_attention(q, k, v, mesh, causal=True,
+                                          src_len=0, impl=impl) ** 2)
+        return f
+
+    g_flash = jax.grad(loss("flash"), argnums=(0, 1, 2))(q, k, v)
+    g_dense = jax.grad(loss("dense"), argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(g_flash, g_dense, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5,
+                                   err_msg=f"d{name}")
+
+
+@requires_8
+@pytest.mark.heavy
+def test_ring_flash_dropout_matches_dense(interpret_flash):
+    """In-kernel dropout hashes the same GLOBAL positions as the dense
+    ring (seed words 2/3 carry the block origins), so masks — and hence
+    outputs and gradients — agree across implementations."""
+    B, T, H, hd = 1, 32, 2, 8
+    key = jax.random.PRNGKey(7)
+    q = jax.random.normal(key, (B, T, H, hd))
+    k = jax.random.normal(jax.random.fold_in(key, 1), (B, T, H, hd))
+    v = jax.random.normal(jax.random.fold_in(key, 2), (B, T, H, hd))
+    mesh = _seq_mesh(4)
+    seed = jnp.asarray([123, 456], jnp.int32)
+    kw = dict(causal=True, src_len=0, dropout_rate=0.3, dropout_seed=seed)
+    ref = ring_attention(q, k, v, mesh, impl="dense", **kw)
+    got = ring_attention(q, k, v, mesh, impl="flash", **kw)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+    def loss(impl):
+        def f(q, k, v):
+            return jnp.sum(ring_attention(q, k, v, mesh, impl=impl,
+                                          **kw) ** 2)
+        return f
+
+    g_flash = jax.grad(loss("flash"), argnums=(0, 1, 2))(q, k, v)
+    g_dense = jax.grad(loss("dense"), argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(g_flash, g_dense, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4,
+                                   err_msg=f"d{name}")
