@@ -52,9 +52,10 @@ def _fwd_kernel(x_ref, cw_ref, cb_ref, w_ref, b_ref, o_ref, *,
     xhat = xc * jax.lax.rsqrt(var + eps)
     # (w + cw) / (b + cb) round in the PARAM dtype first — bf16 params
     # must match the XLA path bit-for-bit (the sharded-vs-single-device
-    # equality tests compare across the two paths).
-    a = (w_ref[0] + cw_ref[0, 0]).astype(jnp.float32)
-    out = xhat * a + (b_ref[0] + cb_ref[0, 0]).astype(jnp.float32)
+    # equality tests compare across the two paths). Operands stay 2-D
+    # [1, E] (Mosaic-friendly broadcast; rank-1 vectors are not).
+    a = (w_ref[:] + cw_ref[0]).astype(jnp.float32)
+    out = xhat * a + (b_ref[:] + cb_ref[0]).astype(jnp.float32)
     o_ref[0] = out.astype(o_ref.dtype)
 
 
@@ -75,7 +76,7 @@ def _bwd_kernel(x_ref, cw_ref, g_ref, w_ref, dx_ref, dgw_ref, dgb_ref,
     var = jnp.mean(xc * xc, axis=-1, keepdims=True)
     rstd = jax.lax.rsqrt(var + eps)
     xhat = xc * rstd
-    a = (w_ref[0] + cw_ref[0, 0]).astype(jnp.float32)
+    a = (w_ref[:] + cw_ref[0]).astype(jnp.float32)  # [1, E]
     dxhat = g * a
     dx = rstd * (dxhat
                  - jnp.mean(dxhat, axis=-1, keepdims=True)

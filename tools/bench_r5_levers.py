@@ -60,14 +60,16 @@ def make_timer(cfg, B, T, steps):
 
     def run(tag):
         # One compiled step per variant; flags are read at trace time.
+        # The step donates (params, opt) — every run starts from FRESH
+        # device copies so the shared originals are never donated away.
         if tag not in compiled:
             compiled[tag] = make_train_step(cfg, tx,
                                             compute_dtype="bfloat16_shadow")
-            p, o, stats = compiled[tag](params, opt, src, tgt, ib,
-                                        jax.random.PRNGKey(2))
-            float(stats["loss"])  # compile + fence
         step = compiled[tag]
-        p, o = params, opt
+        p = jax.tree.map(jnp.array, params)
+        o = jax.tree.map(jnp.array, opt)
+        p, o, stats = step(p, o, src, tgt, ib, jax.random.PRNGKey(2))
+        float(stats["loss"])  # compile (first time) + fence
         t0 = time.perf_counter()
         for i in range(steps):
             p, o, stats = step(p, o, src, tgt, ib,
