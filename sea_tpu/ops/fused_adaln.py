@@ -181,9 +181,11 @@ def _vjp_bwd(eps, res, g):
 fused_adaln_modulate.defvjp(_vjp_fwd, _vjp_bwd)
 
 
-def fused_supported(x, cw, cb) -> bool:
+def fused_supported(x, cw, cb, local_batch=None) -> bool:
     """Dispatch gate for ops/layers.adaln_modulate: teacher-forced
-    training shapes with time-constant cond only."""
+    training shapes with time-constant cond only. ``local_batch``: the
+    per-device batch under a shard_map dispatch
+    (parallel/kernel_shard.can_shard_fused_adaln)."""
     if _FORCE_INTERPRET:
         backend_ok = True
     else:
@@ -191,4 +193,5 @@ def fused_supported(x, cw, cb) -> bool:
     return (backend_ok and x.ndim == 3 and cw.ndim == 3
             and cw.shape[1] == 1 and cb.shape == cw.shape
             and x.shape[0] == cw.shape[0]
+            and (local_batch is None or local_batch >= 1)
             and x.shape[-1] % 128 == 0 and x.shape[1] >= 8)

@@ -195,20 +195,30 @@ def adaln_modulate(params, x, cw, cb, eps: float = LN_EPS):
     """The x half of AdaLN: normalize and apply (base + cond) scale/shift.
     f32 statistics, input-dtype output (see layernorm)."""
     if FUSED_ADALN:
-        # Single-device traces only: a bare pallas call inside a
-        # multi-device GSPMD program would force operand all-gathers
-        # (no partitioning rule), and a check_vma=False shard_map wrap
-        # would silently drop the dw/db psum in the transpose — the
-        # sharded steps keep the XLA path.
         from sea_tpu.ops.dispatch import (attention_kernels_allowed,
                                           kernel_sharding)
         from sea_tpu.ops.fused_adaln import (fused_adaln_modulate,
                                              fused_supported)
         cw_a, cb_a = jnp.asarray(cw), jnp.asarray(cb)
-        if (attention_kernels_allowed() and kernel_sharding() is None
-                and "w" in params and fused_supported(x, cw_a, cb_a)):
-            return fused_adaln_modulate(x, cw_a, cb_a, params["w"],
-                                        params["b"], eps)
+        if attention_kernels_allowed() and "w" in params:
+            ctx = kernel_sharding()
+            if ctx is None:
+                if fused_supported(x, cw_a, cb_a):
+                    return fused_adaln_modulate(x, cw_a, cb_a, params["w"],
+                                                params["b"], eps)
+            else:
+                # Multi-device GSPMD trace: dispatch through shard_map
+                # over the batch axis — a bare pallas call would force
+                # operand all-gathers, and a naive shard_map wrap of the
+                # custom VJP would silently drop the dw/db psum in its
+                # check_vma=False transpose (kernel_shard wrapper adds
+                # it explicitly).
+                from sea_tpu.parallel.kernel_shard import (
+                    can_shard_fused_adaln, sharded_fused_adaln)
+                if can_shard_fused_adaln(ctx, x, cw_a, cb_a):
+                    return sharded_fused_adaln(ctx, x, cw_a, cb_a,
+                                               params["w"], params["b"],
+                                               eps)
     xf = x.astype(jnp.float32)
     mean = jnp.mean(xf, axis=-1, keepdims=True)
     var = jnp.var(xf, axis=-1, keepdims=True)

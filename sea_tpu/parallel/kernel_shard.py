@@ -147,6 +147,61 @@ def sharded_int4_matmul(ctx: KernelSharding, x, wp, s):
                          out_specs=P(*lead), check_vma=False)(x, wp, s)
 
 
+def can_shard_fused_adaln(ctx: KernelSharding, x, cw, cb) -> bool:
+    """Fused AdaLN-modulate under a mesh: rows are batch-local, so the
+    kernel shards perfectly over the batch axis (params replicated on
+    every device; each model-axis column repeats the local pass)."""
+    from sea_tpu.ops.fused_adaln import fused_supported
+    nd, _ = _axis_sizes(ctx)
+    return (x.ndim == 3 and x.shape[0] % nd == 0 and x.shape[0] >= nd
+            and fused_supported(x, cw, cb, local_batch=x.shape[0] // nd))
+
+
+def sharded_fused_adaln(ctx: KernelSharding, x, cw, cb, w, b,
+                        eps: float):
+    """ops/fused_adaln.fused_adaln_modulate through shard_map over
+    ctx.mesh's batch axis, with a wrapper-level custom VJP: the backward
+    kernel's per-trajectory cond reductions are batch-local, and the
+    base d(w)/d(b) partials get the one explicit psum over the batch
+    axis that a check_vma=False shard_map transpose would silently drop
+    (the reason the bare custom_vjp cannot just be wrapped)."""
+    from sea_tpu.ops import fused_adaln as fa
+    mesh, data = ctx.mesh, ctx.batch_axis
+    s3 = P(data, None, None)
+
+    @jax.custom_vjp
+    def f(x, cw, cb, w, b):
+        def body(x, cw, cb, w, b):
+            return fa._fwd_call(x, cw, cb, w, b, eps=eps)
+        # check_vma=False: pallas_call has no varying-mesh-axes rule.
+        return jax.shard_map(body, mesh=mesh,
+                             in_specs=(s3, s3, s3, P(None), P(None)),
+                             out_specs=s3, check_vma=False)(x, cw, cb, w, b)
+
+    def f_fwd(x, cw, cb, w, b):
+        return f(x, cw, cb, w, b), (x, cw, w)
+
+    def f_bwd(res, g):
+        x, cw, w = res
+
+        def body(x, cw, g, w):
+            dx, dgw, dgb = fa._bwd_call(x, cw, g, w, eps=eps)
+            dw = jax.lax.psum(jnp.sum(dgw, axis=(0, 1)), data)
+            db = jax.lax.psum(jnp.sum(dgb, axis=(0, 1)), data)
+            return dx, dgw, dgb, dw, db
+
+        # check_vma=False: pallas_call has no varying-mesh-axes rule.
+        dx, dgw, dgb, dw, db = jax.shard_map(
+            body, mesh=mesh, in_specs=(s3, s3, s3, P(None)),
+            out_specs=(s3, s3, s3, P(None), P(None)),
+            check_vma=False)(x, cw, g, w)
+        return (dx, dgw.astype(cw.dtype), dgb.astype(cw.dtype),
+                dw.astype(w.dtype), db.astype(w.dtype))
+
+    f.defvjp(f_fwd, f_bwd)
+    return f(x, cw, cb, w, b)
+
+
 def can_shard_int4_tp(ctx: KernelSharding, rows: int, K: int, N: int,
                       role: str) -> bool:
     """Gate for the TENSOR-PARALLEL int4 decompositions (round-4 VERDICT

@@ -343,3 +343,123 @@ def test_sharded_int4_tp_3d_row(interpret_kernels):
     want = qm.int4_matmul(x, wp, s, force="jnp")
     got = sharded_int4_matmul_tp(ctx, x, wp, s, "row")
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-3)
+
+
+@requires_8
+def test_sharded_fused_adaln_matches_xla(monkeypatch):
+    """Fused AdaLN-modulate through the batch-axis shard_map wrapper ==
+    the XLA path, values AND gradients — including the base dw/db psum
+    the wrapper adds explicitly (a naive check_vma=False transpose would
+    drop it)."""
+    import sea_tpu.ops.fused_adaln as fadaln
+    import sea_tpu.ops.layers as L
+    from sea_tpu.parallel.kernel_shard import (can_shard_fused_adaln,
+                                               sharded_fused_adaln)
+
+    monkeypatch.setattr(fadaln, "_FORCE_INTERPRET", True)
+    mesh = make_mesh(4, 2)
+    ctx = KernelSharding(mesh)
+    B, T, E = 8, 19, 128
+    key = jax.random.PRNGKey(3)
+    x = jax.random.normal(key, (B, T, E))
+    cw = 1.0 + 0.1 * jax.random.normal(jax.random.fold_in(key, 1),
+                                       (B, 1, E))
+    cb = 0.1 * jax.random.normal(jax.random.fold_in(key, 2), (B, 1, E))
+    w = jnp.ones((E,)) * 1.2
+    b = jnp.full((E,), 0.3)
+    assert can_shard_fused_adaln(ctx, x, cw, cb)
+
+    def xla(x, cw, cb, w, b):
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.var(xf, axis=-1, keepdims=True)
+        norm = (xf - mean) * jax.lax.rsqrt(var + L.LN_EPS)
+        return norm * (w + cw) + (b + cb)
+
+    got = sharded_fused_adaln(ctx, x, cw, cb, w, b, L.LN_EPS)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(xla(x, cw, cb,
+                                                               w, b)),
+                               atol=2e-6)
+
+    def loss(f):
+        return lambda *a: jnp.sum(f(*a) ** 2 + f(*a))
+
+    g_shard = jax.grad(
+        lambda x, cw, cb, w, b: jnp.sum(
+            sharded_fused_adaln(ctx, x, cw, cb, w, b, L.LN_EPS) ** 2),
+        argnums=(0, 1, 2, 3, 4))(x, cw, cb, w, b)
+    g_xla = jax.grad(
+        lambda x, cw, cb, w, b: jnp.sum(xla(x, cw, cb, w, b) ** 2),
+        argnums=(0, 1, 2, 3, 4))(x, cw, cb, w, b)
+    for a, b_, name in zip(g_shard, g_xla, ("dx", "dcw", "dcb", "dw",
+                                            "db")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=1e-4, rtol=1e-4, err_msg=name)
+
+
+@requires_8
+@pytest.mark.heavy
+def test_sharded_step_with_fused_adaln_matches_single_device(monkeypatch):
+    """DP4xTP2 temporal train step with the fused AdaLN kernel forced on
+    (interpret) == the single-device XLA-path step: the shard_map
+    dispatch engages (counted) and the loss/params agree."""
+    import dataclasses
+
+    import sea_tpu.ops.fused_adaln as fadaln
+    import sea_tpu.ops.layers as L
+    import sea_tpu.parallel.kernel_shard as ksh
+    from sea_tpu.configs.base import TemporalModelConfig, TrainConfig
+    from sea_tpu.models.temporal import init_temporal
+    from sea_tpu.parallel.train_step import make_sharded_temporal_train_step
+    from sea_tpu.train.optim import make_optimizer
+    from sea_tpu.train.train_temporal import make_train_step
+
+    monkeypatch.setattr(fadaln, "_FORCE_INTERPRET", True)
+    calls = []
+    orig = ksh.sharded_fused_adaln
+
+    def counting(*a, **kw):
+        calls.append(1)
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(ksh, "sharded_fused_adaln", counting)
+
+    cfg = TemporalModelConfig(num_layers=1, embed_dim=128, n_heads=2,
+                              block_size=64, scale_ratio=2, num_fields=2,
+                              down_proj=2, dropout=0.0, exchange_mode="sea",
+                              ib_scale_mode="mlp", ib_addition_mode="add",
+                              ln_type="adaln", ib_time_constant=True)
+    params = init_temporal(jax.random.PRNGKey(0), cfg)
+    tx = make_optimizer(TrainConfig(learning_rate=1e-3))
+    B, T = 8, 12
+    key = jax.random.PRNGKey(1)
+    src = jax.random.normal(key, (B, T, cfg.num_fields, cfg.embed_dim))
+    tgt = jax.random.normal(jax.random.fold_in(key, 1), src.shape)
+    ib = jnp.broadcast_to(
+        jax.random.normal(jax.random.fold_in(key, 2), (B, 1, cfg.ib_num)),
+        (B, T, cfg.ib_num))
+    rng = jax.random.PRNGKey(3)
+
+    # Single-device reference on the XLA path (kernel off).
+    prev = L.FUSED_ADALN
+    try:
+        L.FUSED_ADALN = False
+        step1 = make_train_step(cfg, tx)
+        p1, o1, stats1 = step1(jax.tree.map(jnp.copy, params),
+                               tx.init(params), src, tgt, ib, rng)
+    finally:
+        L.FUSED_ADALN = prev
+
+    mesh = make_mesh(4, 2)
+    step8, pp, po, place = make_sharded_temporal_train_step(mesh, cfg, tx,
+                                                            params)
+    s_src, s_tgt, s_ib = place(src, tgt, ib)
+    p8, o8, stats8 = step8(pp, po, s_src, s_tgt, s_ib, rng)
+
+    assert calls, "sharded fused-adaln dispatch not taken"
+    np.testing.assert_allclose(float(stats8["loss"]), float(stats1["loss"]),
+                               rtol=1e-5)
+    # Kernel-vs-XLA f32 reduction-order noise (~1e-7 on activations)
+    # amplifies through Adam's rsqrt on near-zero second moments.
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p8)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
