@@ -66,23 +66,29 @@ INT8_DRIFT = {"decoded_rel_mse_rel_change": -0.000525,
 # bounds remain conservative.)
 INT4_DRIFT = {"decoded_rel_mse_rel_change": -0.00882,
               "latent_rollout_rel_l2": 0.045871}
-# Same-chip architecture A/B (tools/bench_scan_vs_prefix.py, round 3):
+# Same-chip architecture A/B (tools/bench_scan_vs_prefix.py,
+# RE-MEASURED round 5 WITH the shipped cond-table hoist):
 # time(prefix-recompute) / time(scan) on one v5e at B=1. Values < 1 mean
 # the reference's own strategy, compiled as bucketed XLA programs, beats
-# the scan engine (it amortizes the weight stream over full-sequence MXU
-# work; the scan engine streams all weights every step). bf16 weights
-# halve the stream and flip the verdict. Full table + the multiphase-bf16
-# XLA pathology note: BASELINE.md "Same-chip rollout engine A/B".
-SCAN_VS_PREFIX_ON_CHIP = {"cylinder_f32": 0.67, "cylinder_bf16w": 1.04,
-                          "multiphase_f32": 0.66}
-# Flash-decode kernel A/B (round 3, tools/bench_decode_kernel.py on one
-# v5e): steps/s ratio kernel/XLA for the same rollout program — the
-# kernel's scalar-prefetch block clamp stops DMA of cache blocks beyond
-# position t (ops/decode_attention.py). The headline rows above already
-# include it (it is the default dispatch on TPU).
+# the scan engine. The AdaLN cond hoist (round 4) closed the cylinder
+# f32 gap to a dead heat (0.67 -> 1.00) and widened the bf16w scan win
+# (1.04 -> 1.77); plain-LN multiphase (hoist gated off) still favors
+# prefix at f32. Full table: BASELINE.md round-5 "Post-hoist engine
+# A/B". select_engine's policy (prefix iff f32 & B=1 & T<=512) remains
+# measurement-exact: prefix is strictly-or-tied best in every f32 cell.
+SCAN_VS_PREFIX_ON_CHIP = {"cylinder_f32": 1.00, "cylinder_bf16w": 1.77,
+                          "multiphase_f32": 0.71, "round_measured": 5}
+# Flash-decode kernel A/B (tools/bench_decode_kernel.py on one v5e):
+# steps/s ratio kernel/XLA for the same rollout program — the kernel's
+# scalar-prefetch block clamp stops DMA of cache blocks beyond position
+# t (ops/decode_attention.py). The headline rows above already include
+# it (it is the default dispatch on TPU). Constants measured in ROUND 3
+# (pre-hoist; tagged so the driver artifact does not read as current —
+# round-4 VERDICT weakness 2).
 DECODE_KERNEL_SPEEDUP = {"multiphase_f32": 1.09, "multiphase_bf16w": 1.11,
                          "multiphase_int4w": 1.04, "cylinder_f32": 1.10,
-                         "cylinder_bf16w": 1.20, "cylinder_int4w": 1.01}
+                         "cylinder_bf16w": 1.20, "cylinder_int4w": 1.01,
+                         "round_measured": 3}
 
 
 def bench_rollout(cfg, steps, *, dtype: str, key_base: int):
