@@ -174,6 +174,40 @@ def _mxu_peak_tflops():
     return f"{kind} (assuming v5e peak)", 197e12
 
 
+def flops_reference(cfg, tx, params, opt, src, tgt, ib):
+    """(shipped_flops, original_flops) for the MFU denominators — the
+    ONE methodology both bench.py's train rows and
+    tools/bench_r5_levers.py share: fresh step closures lowered with the
+    Pallas kernels AND the hash-dropout/fused-AdaLN levers off (so the
+    denominator counts the model math, not lever-dependent op mixes);
+    `original` additionally turns the ib_time_constant cond hoist off —
+    the original reference semantics (per-token AdaLN conditioning).
+    See the `mfu_definitions` field in main()'s JSON."""
+    import dataclasses
+
+    import sea_tpu.ops.layers as L
+    from sea_tpu.ops.dispatch import attention_kernels_disabled
+    from sea_tpu.train.train_temporal import make_train_step
+    prev_hash = L.HASH_DROPOUT
+    try:
+        L.HASH_DROPOUT = False
+        with attention_kernels_disabled(True):
+            def one(c):
+                ca = make_train_step(c, tx, compute_dtype="bfloat16_shadow"
+                                     ).lower(params, opt, src, tgt, ib,
+                                             jax.random.PRNGKey(2)
+                                             ).compile().cost_analysis()
+                ca = ca[0] if isinstance(ca, list) else ca
+                return float(ca.get("flops", 0.0))
+            shipped = one(cfg)
+            original = (shipped if not cfg.ib_time_constant else
+                        one(dataclasses.replace(cfg,
+                                                ib_time_constant=False)))
+    finally:
+        L.HASH_DROPOUT = prev_hash
+    return shipped, original
+
+
 def bench_train_step_shadow(case: str = "multiphase_flow", T: int = 199):
     """Temporal train step at the recommended recipe
     (compute_dtype='bfloat16_shadow', adam_mu_dtype=bf16, B=8):
@@ -220,36 +254,15 @@ def bench_train_step_shadow(case: str = "multiphase_flow", T: int = 199):
         ib = jnp.broadcast_to(
             jax.random.normal(jax.random.fold_in(key, 2),
                               (B, 1, cfg.ib_num)), (B, T, cfg.ib_num))
-        # FLOPs references, lowered with kernels + the hash-dropout /
-        # fused-AdaLN levers off (fresh closures so the timed step's jit
-        # cache never sees these traces):
-        # - `flops`: the SHIPPED semantics (incl. ib_time_constant when
-        #   active) -> `mfu`.
-        # - `flops_orig`: the ORIGINAL reference semantics (per-token
-        #   AdaLN conditioning, ib_time_constant off) -> `mfu_effective`.
-        #   Removing redundant FLOPs (the cond hoist) shrinks the mfu
-        #   denominator while the step gets FASTER; mfu_effective keeps
-        #   crediting the original work so efficiency moves are visible
-        #   (round-4 VERDICT weakness 3). Definition emitted in extras.
-        import sea_tpu.ops.layers as L
-        prev_hash = L.HASH_DROPOUT
-        try:
-            L.HASH_DROPOUT = False
-            with attention_kernels_disabled(True):
-                def _flops(c):
-                    ca = make_train_step(c, tx,
-                                         compute_dtype="bfloat16_shadow"
-                                         ).lower(params, opt, src, tgt, ib,
-                                                 jax.random.PRNGKey(2)
-                                                 ).compile().cost_analysis()
-                    ca = ca[0] if isinstance(ca, list) else ca
-                    return float(ca.get("flops", 0.0))
-                flops = _flops(cfg)
-                flops_orig = (flops if not cfg.ib_time_constant else
-                              _flops(dataclasses.replace(
-                                  cfg, ib_time_constant=False)))
-        finally:
-            L.HASH_DROPOUT = prev_hash
+        # FLOPs references -> `mfu` (shipped semantics) and
+        # `mfu_effective` (original reference semantics; removing
+        # redundant FLOPs like the cond hoist shrinks the mfu
+        # denominator while the step gets FASTER — mfu_effective keeps
+        # crediting the original work so efficiency moves stay visible,
+        # round-4 VERDICT weakness 3). One shared methodology with
+        # tools/bench_r5_levers.py: flops_reference() above.
+        flops, flops_orig = flops_reference(cfg, tx, params, opt, src,
+                                            tgt, ib)
         step = make_train_step(cfg, tx, compute_dtype="bfloat16_shadow")
         params, opt, stats = step(params, opt, src, tgt, ib,
                                   jax.random.PRNGKey(2))

@@ -149,10 +149,9 @@ def _ring_flash_fwd_impl(q, k, v, seed, axis, n_dev, causal, src_len,
             v_cur = jax.lax.ppermute(v_cur, axis, perm)
         q_off, k_off = _pair_geometry(s, idx, n_dev, Tl)
 
-        def attend(args, s=s):
+        def attend(args, s=s, q_off=q_off, k_off=k_off):
             oa, la, kc, vc = args
-            ob, lb = _flash_pair_fwd(q, kc, vc, seed, idx * Tl,
-                                     ((idx - s) % n_dev) * Tl,
+            ob, lb = _flash_pair_fwd(q, kc, vc, seed, q_off, k_off,
                                      causal=causal and s == 0,
                                      dropout_rate=dropout_rate)
             oa, la = _combine_blocks(oa, la, ob, lb)
@@ -205,13 +204,13 @@ def _ring_flash_bwd_impl(q, k, v, seed, out, lse, g, axis, n_dev, causal,
             dv_cur = jax.lax.ppermute(dv_cur, axis, perm)
         q_off, k_off = _pair_geometry(s, idx, n_dev, Tl)
 
-        def pair_grads(args, s=s):
+        def pair_grads(args, s=s, q_off=q_off, k_off=k_off):
             dqa, dka, dva, kc, vc = args
             dq_c, dk_c, dv_c = fa._flash_backward(
                 q, kc, vc, out, lse_pad, g, causal=causal and s == 0,
                 src_len=0, block_q=fa.DEFAULT_BLOCK_Q,
                 block_k=fa.DEFAULT_BLOCK_K, dropout_rate=dropout_rate,
-                seed=seed, pos_off=(idx * Tl, ((idx - s) % n_dev) * Tl))
+                seed=seed, pos_off=(q_off, k_off))
             return (dqa + dq_c.astype(jnp.float32),
                     dka + dk_c.astype(jnp.float32),
                     dva + dv_c.astype(jnp.float32))
@@ -258,7 +257,7 @@ def _make_ring_flash(axis, n_dev, causal, dropout_rate):
     return rf
 
 
-def _ring_flash_ok(Tl, causal, src_len) -> bool:
+def _ring_flash_ok(causal, src_len) -> bool:
     """Flash ring applies when: causal rings have src_len == 0 (the
     skip/full split relies on it; every shipped config qualifies) and the
     backend runs Pallas (TPU, or interpret mode under test)."""
@@ -297,11 +296,18 @@ def ring_attention(q, k, v, mesh: Mesh, *, axis: str = "seq",
                          "(int32[2] seed words)")
     if impl not in ("auto", "flash", "dense"):
         raise ValueError(f"ring_attention impl {impl!r}")
+    if impl == "flash" and causal and src_len != 0:
+        # The flash ring hard-codes src_len == 0 semantics (the
+        # skip/full-block split and the kernel calls both assume it);
+        # honoring the request would silently compute the wrong band.
+        raise ValueError("ring_attention impl='flash' supports causal "
+                         "rings only at src_len == 0 (use impl='dense' "
+                         f"for src_len={src_len})")
     scale = hd ** -0.5
     spec = P(None, axis, None, None)
 
     if impl == "flash" or (impl == "auto"
-                           and _ring_flash_ok(T // n_dev, causal, src_len)):
+                           and _ring_flash_ok(causal, src_len)):
         # Flash-kernel ring: scores never materialize in HBM — each pair
         # runs the banded Pallas kernel on VMEM tiles (round-4 VERDICT
         # item 6). Dropout masks are bit-identical to the dense ring

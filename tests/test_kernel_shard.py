@@ -381,9 +381,6 @@ def test_sharded_fused_adaln_matches_xla(monkeypatch):
                                                                w, b)),
                                atol=2e-6)
 
-    def loss(f):
-        return lambda *a: jnp.sum(f(*a) ** 2 + f(*a))
-
     g_shard = jax.grad(
         lambda x, cw, cb, w, b: jnp.sum(
             sharded_fused_adaln(ctx, x, cw, cb, w, b, L.LN_EPS) ** 2),

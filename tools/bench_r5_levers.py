@@ -77,28 +77,11 @@ def make_timer(cfg, B, T, steps):
         float(stats["loss"])
         return (time.perf_counter() - t0) / steps * 1000
 
-    def flops_refs(tx=tx, params=params, opt=opt):
-        from sea_tpu.ops.dispatch import attention_kernels_disabled
-        import sea_tpu.ops.layers as L
-        prev = L.HASH_DROPOUT
-        try:
-            L.HASH_DROPOUT = False
-            with attention_kernels_disabled(True):
-                def one(c):
-                    ca = make_train_step(c, tx,
-                                         compute_dtype="bfloat16_shadow"
-                                         ).lower(params, opt, src, tgt, ib,
-                                                 jax.random.PRNGKey(2)
-                                                 ).compile().cost_analysis()
-                    ca = ca[0] if isinstance(ca, list) else ca
-                    return float(ca.get("flops", 0.0))
-                shipped = one(cfg)
-                orig = (shipped if not cfg.ib_time_constant else
-                        one(dataclasses.replace(cfg,
-                                                ib_time_constant=False)))
-        finally:
-            L.HASH_DROPOUT = prev
-        return shipped, orig
+    def flops_refs():
+        # Shared methodology with the driver bench (bench.flops_reference)
+        # so the two artifacts' mfu_effective can never silently diverge.
+        import bench
+        return bench.flops_reference(cfg, tx, params, opt, src, tgt, ib)
 
     return run, flops_refs
 

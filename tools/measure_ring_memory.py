@@ -41,6 +41,8 @@ def main():
                     help="also execute the flash ring once (default: "
                          "compile-only memory analysis)")
     args = ap.parse_args()
+    if args.check:
+        args.run = True  # verification requires executing the flash ring
 
     cache = os.environ.get("SEA_BENCH_XLA_CACHE", "/tmp/sea_tpu_xla_cache")
     if cache:
