@@ -91,7 +91,8 @@ DECODE_KERNEL_SPEEDUP = {"multiphase_f32": 1.09, "multiphase_bf16w": 1.11,
                          "round_measured": 3}
 
 
-def bench_rollout(cfg, steps, *, dtype: str, key_base: int):
+def bench_rollout(cfg, steps, *, dtype: str, key_base: int,
+                  batch: int = None, cache_override=None):
     """Time REPEATS scan rollouts in ONE jit dispatch, return steps/sec.
 
     All repeats run inside a single jitted lax.map with one scalar
@@ -106,6 +107,7 @@ def bench_rollout(cfg, steps, *, dtype: str, key_base: int):
                                          quantize_weights_int4,
                                          quantize_weights_int8)
 
+    B = BATCH if batch is None else batch
     params = init_temporal(jax.random.PRNGKey(0), cfg)
     # Reduced-precision serving also fuses the attention projections
     # (qkv/kv) — fewer matvec dispatches per rollout step. f32 stays
@@ -127,10 +129,10 @@ def bench_rollout(cfg, steps, *, dtype: str, key_base: int):
     param_bytes = sum(nbytes(x) for x in jax.tree.leaves(params))
     key = jax.random.PRNGKey(key_base)
     x0s = [jax.random.normal(jax.random.fold_in(key, i),
-                             (BATCH, cfg.num_fields, cfg.embed_dim))
+                             (B, cfg.num_fields, cfg.embed_dim))
            for i in range(REPEATS + 1)]
     ibs = [jax.random.normal(jax.random.fold_in(key, 100 + i),
-                             (BATCH, steps, cfg.ib_num))
+                             (B, steps, cfg.ib_num))
            for i in range(REPEATS + 1)]
 
     # int4 serves with bf16 KV caches (the weight stream no longer
@@ -138,6 +140,8 @@ def bench_rollout(cfg, steps, *, dtype: str, key_base: int):
     cache_dtype = jnp.bfloat16 if dtype == "int4" else jnp.float32
     if CACHE_DTYPE is not None:
         cache_dtype = CACHE_DTYPE
+    if cache_override is not None:
+        cache_dtype = cache_override
 
     @jax.jit
     def run_many(p, x0_stack, ib_stack):
@@ -350,6 +354,16 @@ def main():
     cyl_bf16, _ = bench_rollout(cyl_cfg, 399, dtype="bf16", key_base=3)
     cyl_f32, _ = bench_rollout(cyl_cfg, 399, dtype="f32", key_base=4)
     cyl_int4, _ = bench_rollout(cyl_cfg, 399, dtype="int4", key_base=7)
+    # Batched-serving headline cells, BOTH cases (round-4 VERDICT item 7:
+    # the int8-KV policy was multiphase-only evidence): bf16 weights at
+    # B=8 with int8 per-token-scaled KV caches — the measured-best
+    # batched configuration for bf16w in both presets (BASELINE.md
+    # round-4/5 batched tables). Values are AGGREGATE trajectory-steps/s
+    # (wall steps/s x B).
+    cyl_b8, _ = bench_rollout(cyl_cfg, 399, dtype="bf16", key_base=8,
+                              batch=8, cache_override=jnp.int8)
+    mp_b8, _ = bench_rollout(mp_cfg, 250, dtype="bf16", key_base=9,
+                             batch=8, cache_override=jnp.int8)
     train_ms, train_mfu, train_mfu_eff = bench_train_step_shadow()
     cyl_train_ms, cyl_train_mfu, cyl_train_mfu_eff = bench_train_step_shadow(
         "cylinder_flow", T=399)
@@ -387,6 +401,10 @@ def main():
         # weights, so it covers this case directly).
         "cylinder_399step_int4w": round(cyl_int4, 3),
         "cylinder_399step_int4w_vs_baseline": ratio(cyl_int4, cyl_ref),
+        "cylinder_batched_B8_bf16w_int8kv_agg_steps_per_sec":
+            round(cyl_b8 * 8, 1),
+        "multiphase_batched_B8_bf16w_int8kv_agg_steps_per_sec":
+            round(mp_b8 * 8, 1),
         "bf16w_drift_on_trained_weights": BF16_DRIFT,
         "multiphase_bf16w_weight_stream_gbps": round(mp_gbps, 1),
         "multiphase_bf16w_hbm_frac_of_peak": round(mp_gbps / hbm_peak, 3),
