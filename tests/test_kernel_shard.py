@@ -269,9 +269,13 @@ def test_unshardable_decode_never_traces_bare_kernel(monkeypatch):
 
 @requires_8
 def test_unshardable_int4_forces_xla_dequant(monkeypatch):
-    """Review finding: under a multi-device trace where the int4 matvec
-    cannot shard_map (TP'd weights / model axis > 1), linear() must force
-    the XLA dequant path instead of tracing the bare pallas kernel."""
+    """Under a multi-device trace where NO int4 decomposition applies
+    (batch not divisible by the data axis; or a TP-role weight whose
+    col/row gates reject), linear() must force the XLA dequant path
+    instead of tracing the bare pallas kernel. (Since round 5, a
+    tp_role=None weight under a TP mesh — replicated by the
+    parallel/mesh spec contract — legitimately takes the replicated
+    shard_map decomposition instead of falling back.)"""
     import jax.numpy as jnp
 
     from sea_tpu.ops import layers as Lx
@@ -288,12 +292,25 @@ def test_unshardable_int4_forces_xla_dequant(monkeypatch):
     qw = jax.random.randint(key, (K, N), -8, 8, jnp.int8)
     p = {"w_p4": qm.pack_int4(qw),
          "w_s": jnp.ones((N,), jnp.float32)}
-    x = jax.random.normal(jax.random.fold_in(key, 1), (8, K))
-    with attention_kernel_sharding(make_mesh(4, 2)):  # TP: cannot shard
-        y = Lx.linear(p, x)
-    assert y.shape == (8, N)
-    want = qm.int4_matmul(x, p["w_p4"], p["w_s"], force="jnp")
+    want_x = jax.random.normal(jax.random.fold_in(key, 1), (6, K))
+    with attention_kernel_sharding(make_mesh(4, 2)):
+        # batch 6 % nd=4 != 0: no decomposition fits -> XLA dequant.
+        y = Lx.linear(p, want_x)
+    assert y.shape == (6, N)
+    want = qm.int4_matmul(want_x, p["w_p4"], p["w_s"], force="jnp")
     np.testing.assert_allclose(np.asarray(y), np.asarray(want), atol=1e-4)
+
+    # col role with N % nm != 0 (196 % 8): gates reject -> forced XLA
+    # dequant.
+    qw2 = jax.random.randint(key, (K, 196), -8, 8, jnp.int8)
+    p2 = {"w_p4": qm.pack_int4(qw2),
+          "w_s": jnp.ones((196,), jnp.float32)}
+    x8 = jax.random.normal(jax.random.fold_in(key, 3), (8, K))
+    with attention_kernel_sharding(make_mesh(1, 8)):
+        y2 = Lx.linear(p2, x8, tp_role="col")
+    want2 = qm.int4_matmul(x8, p2["w_p4"], p2["w_s"], force="jnp")
+    np.testing.assert_allclose(np.asarray(y2), np.asarray(want2),
+                               atol=1e-4)
 
 
 @requires_8
